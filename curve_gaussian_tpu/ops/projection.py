@@ -1,0 +1,147 @@
+"""Per-Gaussian preprocessing: projection + EWA 2D covariance (pure jnp).
+
+Vectorized, differentiable equivalent of the reference preprocess kernel
+(cuda_rasterizer/forward.cu:78-274).  On TPU this is plain data-parallel VPU
+work that XLA fuses; the hand-derived CUDA backward
+(backward.cu:146-448) is replaced by autodiff through these formulas.
+
+All constants follow the reference:
+  * near-plane cull at z_view <= 0.2      (auxiliary.h:166)
+  * EWA x/y clamp at 1.3 * tanfov          (forward.cu:86-91)
+  * +0.3 px low-pass dilation (h_var)      (forward.cu:219-222)
+  * radius = ceil(3 * sqrt(max eigenvalue))(forward.cu:241-244)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .camera import Camera
+from .quaternion import quat_to_rotmat
+
+NEAR_CULL_Z = 0.2
+H_VAR = 0.3
+
+
+class Preprocessed(NamedTuple):
+    mean2d: jnp.ndarray  # [P, 2] pixel coords
+    conic: jnp.ndarray  # [P, 3] inverse 2D covariance (a, b, c)
+    depth: jnp.ndarray  # [P] view-space z
+    opacity: jnp.ndarray  # [P] effective opacity (AA compensation applied)
+    radius: jnp.ndarray  # [P] int32 screen radius (0 => culled)
+    extent: jnp.ndarray  # [P, 2] tight half-extent of the 3-sigma ellipse (px)
+    valid: jnp.ndarray  # [P] bool
+
+
+def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray, modifier: float = 1.0) -> jnp.ndarray:
+    """[P,3] scales, [P,4] unit quats -> [P,3,3] world covariance R S^2 R^T."""
+    R = quat_to_rotmat(quat)
+    s2 = (modifier * scale) ** 2
+    return jnp.einsum("pij,pj,pkj->pik", R, s2, R)
+
+
+def ewa_cov2d(
+    mean3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    cam: Camera,
+) -> jnp.ndarray:
+    """Project world covariance to 2D pixel covariance (EWA splatting).
+
+    Returns [P,3] (cov_xx, cov_xy, cov_yy) WITHOUT the low-pass dilation.
+    """
+    Wv = cam.world_to_cam[:3, :3]
+    tview = mean3d @ Wv.T + cam.world_to_cam[:3, 3]
+    tz = tview[:, 2]
+    limx = 1.3 * cam.tanfovx
+    limy = 1.3 * cam.tanfovy
+    tx = jnp.clip(tview[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(tview[:, 1] / tz, -limy, limy) * tz
+
+    fx, fy = cam.focal_x, cam.focal_y
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows (only the two image rows matter)
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+    # T = J @ Wv : [P, 2, 3]
+    T0 = j00[:, None] * Wv[0][None, :] + j02[:, None] * Wv[2][None, :]
+    T1 = j11[:, None] * Wv[1][None, :] + j12[:, None] * Wv[2][None, :]
+    # cov2d = T Sigma T^T
+    S0 = jnp.einsum("pi,pij->pj", T0, cov3d)
+    S1 = jnp.einsum("pi,pij->pj", T1, cov3d)
+    cxx = jnp.einsum("pj,pj->p", S0, T0)
+    cxy = jnp.einsum("pj,pj->p", S0, T1)
+    cyy = jnp.einsum("pj,pj->p", S1, T1)
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    """auxiliary.h ndc2Pix: ((v + 1) * S - 1) / 2."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def preprocess(
+    mean3d: jnp.ndarray,
+    scale: jnp.ndarray,
+    quat: jnp.ndarray,
+    opacity: jnp.ndarray,
+    cam: Camera,
+    scale_modifier: float = 1.0,
+    antialiasing: bool = False,
+    alive: jnp.ndarray | None = None,
+) -> Preprocessed:
+    """Full per-Gaussian preprocess.
+
+    mean3d [P,3], scale [P,3], quat [P,4], opacity [P]; `alive` optionally
+    masks out padding rows (capacity-based topology).
+    """
+    P = mean3d.shape[0]
+    # view/proj transforms
+    hom = mean3d @ cam.full_proj[:3, :3].T + cam.full_proj[:3, 3]
+    w = mean3d @ cam.full_proj[3, :3] + cam.full_proj[3, 3]
+    inv_w = 1.0 / (w + 1e-7)
+    ndc_xy = hom[:, :2] * inv_w[:, None]
+    z_view = mean3d @ cam.world_to_cam[2, :3] + cam.world_to_cam[2, 3]
+
+    cov3d = build_cov3d(scale, quat, scale_modifier)
+    cov = ewa_cov2d(mean3d, cov3d, cam)
+    det_raw = cov[:, 0] * cov[:, 2] - cov[:, 1] ** 2
+    cxx = cov[:, 0] + H_VAR
+    cyy = cov[:, 2] + H_VAR
+    cxy = cov[:, 1]
+    det = cxx * cyy - cxy * cxy
+    if antialiasing:
+        compensation = jnp.sqrt(jnp.maximum(2.5e-5, det_raw / det))
+    else:
+        compensation = jnp.ones_like(det)
+
+    det_inv = 1.0 / det
+    conic = jnp.stack([cyy * det_inv, -cxy * det_inv, cxx * det_inv], axis=-1)
+
+    mid = 0.5 * (cxx + cyy)
+    lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam_max))
+    mean2d = jnp.stack(
+        [ndc2pix(ndc_xy[:, 0], cam.width), ndc2pix(ndc_xy[:, 1], cam.height)], axis=-1
+    )
+    # tight axis-aligned half extents of the 3-sigma ellipse (+ dilation slack):
+    # for cov=[[a,b],[b,c]], max |x| on the ellipse is 3*sqrt(a).
+    ext = 3.0 * jnp.sqrt(jnp.maximum(jnp.stack([cxx, cyy], axis=-1), 0.0))
+
+    valid = (z_view > NEAR_CULL_Z) & (det > 0.0) & (radius_f > 0.0)
+    if alive is not None:
+        valid = valid & alive
+    radius = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+
+    return Preprocessed(
+        mean2d=mean2d,
+        conic=conic,
+        depth=z_view,
+        opacity=opacity * compensation,
+        radius=radius,
+        extent=jnp.minimum(ext, radius_f[:, None]),
+        valid=valid,
+    )
