@@ -39,7 +39,11 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sqrt_positive_part(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # double-where keeps the gradient finite at x <= 0 (sqrt'(0) = inf would
+    # otherwise produce 0*inf = NaN for the three non-selected candidates)
+    pos = x > 0
+    safe = jnp.where(pos, x, 1.0)
+    return jnp.where(pos, jnp.sqrt(safe), 0.0)
 
 
 def standardize_quaternion(q: jnp.ndarray) -> jnp.ndarray:

@@ -98,7 +98,13 @@ def rasterize_reference(
         dy = my - pixy
         inside = (jnp.abs(dx) <= ex) & (jnp.abs(dy) <= ey) & g_valid
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
+        # straight-through min: forward clamps at 0.99 but gradients flow as
+        # if unclamped, matching the reference backward (backward.cu:490-505
+        # computes dL_dG = opacity * dL_dalpha with no clamp gating).
+        alpha_u = opa * jnp.exp(power)
+        alpha = alpha_u + jax.lax.stop_gradient(
+            jnp.minimum(ALPHA_MAX, alpha_u) - alpha_u
+        )
         cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
         test_T = jnp.where(cand, T * (1.0 - alpha), T)
         newly_done = cand & (test_T < T_EPS)

@@ -1,0 +1,128 @@
+"""Full render pass: Gaussian attributes -> single-channel edge image.
+
+Equivalent of the reference render() (gaussian_renderer/__init__.py:18-157),
+re-composed TPU-first:
+
+    preprocess (jnp, autodiff)  ->  bin_gaussians (ints, stop-grad)
+        ->  build_payload (jnp gather, autodiff)  ->  tile_blend (Pallas
+        custom_vjp)  ->  crop / background / clamp / dir-to-world (jnp)
+
+Notes vs the reference:
+  * colors are all-ones in the reference renderer (colors_precomp forced,
+    __init__.py:96-97); we keep a color input for generality but default it
+    to ones.
+  * the all_map payload is [view-space main axis (flipped toward camera), 1]
+    (__init__.py:98-105); channel 3 renders the alpha map.
+  * `use_trained_exp` in the reference would crash for 1-channel renders
+    ([H,W,1] @ [3,3]); we implement a scalar affine exposure instead, off by
+    default (same as the reference's effective behavior).
+  * `mean2d_offset`: a zeros [P,2] input added to the projected means; take
+    jax.grad w.r.t. it to obtain the screen-space gradient statistic the
+    reference collects via retain_grad on a dummy tensor (__init__.py:28-32,
+    train.py:187).  The reference's stat is in NDC units (backward.cu:542-544
+    scales by 0.5*W/H); multiply by 2/W, 2/H to convert.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .binning import TILE_H, TILE_W, bin_gaussians, tile_grid
+from .camera import Camera
+from .projection import preprocess
+from .quaternion import quat_to_rotmat
+from .rasterize_pallas import build_payload, tile_blend
+from .rasterize_ref import rasterize_reference
+
+
+def main_axis_allmap(xyz, quat, cam: Camera) -> jnp.ndarray:
+    """[P,4] view-space main-axis direction (toward camera) + ones."""
+    R = quat_to_rotmat(quat)
+    dir_global = R[..., :, 0]
+    to_cam = cam.cam_center[None, :] - xyz
+    flip = jnp.sum(dir_global * to_cam, axis=-1, keepdims=True) < 0.0
+    dir_global = jnp.where(flip, -dir_global, dir_global)
+    Wv = cam.world_to_cam[:3, :3]
+    local = dir_global @ Wv.T
+    return jnp.concatenate([local, jnp.ones_like(local[:, :1])], axis=-1)
+
+
+def render(
+    xyz: jnp.ndarray,  # [P,3]
+    scale: jnp.ndarray,  # [P,3]
+    quat: jnp.ndarray,  # [P,4]
+    opacity: jnp.ndarray,  # [P]
+    cam: Camera,
+    bg: float | jnp.ndarray = 0.0,
+    color: Optional[jnp.ndarray] = None,  # [P]
+    alive: Optional[jnp.ndarray] = None,  # [P] bool, capacity padding mask
+    mean2d_offset: Optional[jnp.ndarray] = None,  # [P,2]
+    scale_modifier: float = 1.0,
+    antialiasing: bool = False,
+    render_geo: bool = True,
+    capacity: int = 1024,
+    backend: str = "pallas",  # or "reference"
+    exposure: Optional[jnp.ndarray] = None,  # [2] (scale, offset)
+):
+    """Returns dict(render [H,W], invdepth, final_T, alpha, dir [3,H,W],
+    radii [P], visibility [P] bool, overflow [])."""
+    H, W = cam.height, cam.width
+    pre = preprocess(
+        xyz,
+        scale,
+        quat,
+        opacity,
+        cam,
+        scale_modifier=scale_modifier,
+        antialiasing=antialiasing,
+        alive=alive,
+    )
+    if mean2d_offset is not None:
+        pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
+    if color is None:
+        color = jnp.ones_like(opacity)
+    allmap = main_axis_allmap(xyz, quat, cam)
+    bg_arr = jnp.asarray(bg, pre.mean2d.dtype).reshape(1)
+
+    if backend == "reference":
+        out = rasterize_reference(
+            pre, color, allmap, bg_arr[0], H, W, render_geo=render_geo
+        )
+        img, invd, finT, am = (
+            out["render"],
+            out["invdepth"],
+            out["final_T"],
+            out["allmap"],
+        )
+        overflow = jnp.int32(0)
+    else:
+        binning = bin_gaussians(pre, H, W, capacity=capacity)
+        payload = build_payload(pre, color, allmap, binning)
+        nty, ntx = tile_grid(H, W)
+        img_p, invd_p, finT_p, am_p = tile_blend(
+            payload, binning.counts, nty, ntx, bg_arr
+        )
+        img, invd, finT = img_p[:H, :W], invd_p[:H, :W], finT_p[:H, :W]
+        am = am_p[:, :H, :W]
+        overflow = binning.overflow
+
+    if exposure is not None:
+        img = img * exposure[0] + exposure[1]
+    img = jnp.clip(img, 0.0, 1.0)
+
+    # rotate rendered direction from view back to world space
+    Wv = cam.world_to_cam[:3, :3]
+    rend_dir = jnp.einsum("ij,ihw->jhw", Wv, am[:3])
+
+    return {
+        "render": img,
+        "invdepth": invd,
+        "final_T": finT,
+        "alpha": am[3],
+        "dir": rend_dir,
+        "radii": pre.radius,
+        "visibility": pre.radius > 0,
+        "overflow": overflow,
+    }

@@ -1,0 +1,179 @@
+"""Pallas tiled rasterizer vs the pure-JAX oracle: forward + gradients.
+
+The oracle (rasterize_ref) defines the renderer's semantics; the tiled
+pipeline (binning + payload gather + Pallas tile_blend) must match it to
+float32 tolerance on both outputs and input gradients.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curve_gaussian_tpu.ops import bezier
+from curve_gaussian_tpu.ops.camera import look_at_camera
+from curve_gaussian_tpu.ops.render import render
+
+
+def random_scene(rng, n_curves=40, width=0.01):
+    cp = bezier.initialize_bezier_curves(
+        jnp.asarray(rng.uniform(-0.4, 0.4, size=(n_curves, 3)), jnp.float32),
+        jnp.full((n_curves,), 0.15, jnp.float32),
+    )
+    # bend the curves a bit
+    cp = cp + jnp.asarray(rng.normal(0, 0.05, size=cp.shape), jnp.float32)
+    is_bez = jnp.asarray(rng.uniform(size=n_curves) < 0.8)
+    g = bezier.curve_gaussians(cp, jnp.full((n_curves,), width), is_bez, 8)
+    xyz = g["xyz"].reshape(-1, 3)
+    quat = g["quat"].reshape(-1, 4)
+    scale = g["scale"].reshape(-1, 3)
+    opacity = jnp.asarray(
+        rng.uniform(0.3, 0.9, size=(xyz.shape[0],)), jnp.float32
+    )
+    return xyz, scale, quat, opacity
+
+
+@pytest.fixture
+def cam():
+    return look_at_camera(
+        eye=[0.0, 0.3, -2.0], target=[0.0, 0.0, 0.0], height=48, width=200
+    )
+
+
+def _render_sum(backend, cam, bg, weights_key):
+    def f(xyz, scale, quat, opacity):
+        out = render(
+            xyz, scale, quat, opacity, cam, bg=bg, backend=backend, capacity=256
+        )
+        kc, kd, ka = weights_key
+        return (
+            (out["render"] * kc).sum()
+            + (out["invdepth"] * kd).sum()
+            + (out["alpha"] * ka).sum()
+        )
+
+    return f
+
+
+class TestForwardParity:
+    def test_forward_matches_oracle(self, rng, cam):
+        xyz, scale, quat, opacity = random_scene(rng)
+        ref = render(xyz, scale, quat, opacity, cam, bg=0.0, backend="reference")
+        fast = render(xyz, scale, quat, opacity, cam, bg=0.0, backend="pallas",
+                      capacity=256)
+        assert int(fast["overflow"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(fast["render"]), np.asarray(ref["render"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast["invdepth"]), np.asarray(ref["invdepth"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast["final_T"]), np.asarray(ref["final_T"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast["alpha"]), np.asarray(ref["alpha"]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast["dir"]), np.asarray(ref["dir"]), atol=2e-5
+        )
+        # the scene must actually draw something
+        assert float(ref["render"].max()) > 0.2
+
+    def test_background(self, rng, cam):
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=5)
+        ref = render(xyz, scale, quat, opacity, cam, bg=1.0, backend="reference")
+        fast = render(xyz, scale, quat, opacity, cam, bg=1.0, capacity=256)
+        np.testing.assert_allclose(
+            np.asarray(fast["render"]), np.asarray(ref["render"]), atol=2e-5
+        )
+        # empty corners show the background
+        assert float(ref["render"].min()) >= 0.0
+        assert float(ref["render"].max()) == 1.0
+
+
+class TestGradientParity:
+    def test_grads_match_oracle(self, rng, cam):
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
+        kc = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        kd = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        ka = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        f_ref = _render_sum("reference", cam, 0.3, (kc, kd, ka))
+        f_fast = _render_sum("pallas", cam, 0.3, (kc, kd, ka))
+        val_ref = f_ref(xyz, scale, quat, opacity)
+        val_fast = f_fast(xyz, scale, quat, opacity)
+        np.testing.assert_allclose(
+            float(val_fast), float(val_ref), rtol=1e-4
+        )
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(xyz, scale, quat, opacity)
+        g_fast = jax.grad(f_fast, argnums=(0, 1, 2, 3))(xyz, scale, quat, opacity)
+        for a, b, name in zip(
+            g_fast, g_ref, ("xyz", "scale", "quat", "opacity")
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            scale_mag = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(
+                a / scale_mag, b / scale_mag, atol=5e-4, err_msg=name
+            )
+            assert np.abs(b).max() > 0, f"oracle grad for {name} is all zero"
+
+    def test_grads_flow_to_curve_points(self, rng, cam):
+        """End-to-end: pixel loss -> control points through the fast path."""
+        n = 10
+        cp = bezier.initialize_bezier_curves(
+            jnp.asarray(rng.uniform(-0.3, 0.3, size=(n, 3)), jnp.float32),
+            jnp.full((n,), 0.2, jnp.float32),
+        )
+        is_bez = jnp.ones((n,), bool)
+        width = jnp.full((n,), 0.01, jnp.float32)
+        opa = jnp.full((n * 8,), 0.8, jnp.float32)
+
+        def loss(cp):
+            g = bezier.curve_gaussians(cp, width, is_bez, 8)
+            out = render(
+                g["xyz"].reshape(-1, 3),
+                g["scale"].reshape(-1, 3),
+                g["quat"].reshape(-1, 4),
+                opa,
+                cam,
+                capacity=256,
+            )
+            return ((out["render"] - 0.5) ** 2).mean()
+
+        grad = jax.grad(loss)(cp)
+        assert np.isfinite(np.asarray(grad)).all()
+        assert np.abs(np.asarray(grad)).max() > 0
+
+
+class TestBinningEdgeCases:
+    def test_capacity_overflow_reported(self, rng, cam):
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=60)
+        out = render(xyz, scale, quat, opacity, cam, capacity=8)
+        assert int(out["overflow"]) > 0  # tiny capacity must overflow
+
+    def test_all_culled(self, cam):
+        """Gaussians behind the camera render pure background."""
+        xyz = jnp.asarray([[0.0, 0.0, -50.0]] * 4, jnp.float32)
+        scale = jnp.full((4, 3), 0.01, jnp.float32)
+        quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (4, 1))
+        opacity = jnp.full((4,), 0.9, jnp.float32)
+        out = render(xyz, scale, quat, opacity, cam, bg=0.25, capacity=64)
+        np.testing.assert_allclose(np.asarray(out["render"]), 0.25, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["final_T"]), 1.0, atol=1e-6)
+
+    def test_alive_mask(self, rng, cam):
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=20)
+        alive = jnp.arange(xyz.shape[0]) < xyz.shape[0] // 2
+        full = render(xyz, scale, quat, opacity, cam, capacity=256)
+        half = render(xyz, scale, quat, opacity, cam, alive=alive, capacity=256)
+        sub = render(
+            xyz[: xyz.shape[0] // 2],
+            scale[: xyz.shape[0] // 2],
+            quat[: xyz.shape[0] // 2],
+            opacity[: xyz.shape[0] // 2],
+            cam,
+            capacity=256,
+        )
+        np.testing.assert_allclose(
+            np.asarray(half["render"]), np.asarray(sub["render"]), atol=2e-5
+        )
+        assert np.abs(np.asarray(full["render"]) - np.asarray(half["render"])).max() > 1e-3
