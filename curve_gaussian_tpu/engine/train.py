@@ -1,0 +1,160 @@
+"""Jitted training step + TrainState (reference train.py:75-243 hot path).
+
+One compiled step = render -> loss -> backward -> Adam -> densify-stat
+accumulation, all on device.  Host-side topology surgery lives in
+models/surgery.py and runs at coarse cadence between steps.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OptimizationConfig, PipelineConfig
+from ..models import curve_state as cs
+from ..models import losses as L
+from ..ops.camera import Camera
+from ..ops.render import render
+from . import optim
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Dict[str, jnp.ndarray]
+    opt: optim.AdamState
+    is_bezier: jnp.ndarray  # [C] bool
+    alive: jnp.ndarray  # [C] bool
+    xyz_grad_accum: jnp.ndarray  # [C*M] accumulated |NDC grad| sums
+    denom: jnp.ndarray  # [C*M] visible counts
+    max_radii: jnp.ndarray  # [C*M] int32
+    step: jnp.ndarray  # scalar int32
+    opacity_frozen: jnp.ndarray  # scalar bool (after fix_opacity)
+
+
+def init_train_state(state: cs.CurveState) -> TrainState:
+    params = cs.trainable(state)
+    n = state.capacity * state.n_gaussians
+    return TrainState(
+        params=params,
+        opt=optim.init_adam(params),
+        is_bezier=state.is_bezier,
+        alive=state.alive,
+        xyz_grad_accum=jnp.zeros((n,)),
+        denom=jnp.zeros((n,)),
+        max_radii=jnp.zeros((n,), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        opacity_frozen=jnp.zeros((), bool),
+    )
+
+
+def curve_state_of(ts: TrainState) -> cs.CurveState:
+    return cs.CurveState(**ts.params, is_bezier=ts.is_bezier, alive=ts.alive)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "n_gaussians"),
+    donate_argnums=(0,),
+)
+def train_step(
+    ts: TrainState,
+    cam: Camera,
+    gt_image: jnp.ndarray,  # [H, W]
+    bg: jnp.ndarray,  # scalar
+    opt_cfg: OptimizationConfig,
+    pipe_cfg: PipelineConfig,
+    use_mask: bool,
+    n_gaussians: int,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    cap = ts.alive.shape[0]
+    P = cap * n_gaussians
+
+    def loss_fn(params, mean2d_offset):
+        state = cs.CurveState(
+            **params, is_bezier=ts.is_bezier, alive=ts.alive
+        )
+        gauss = cs.gaussians(
+            state, use_mask=use_mask, mask_threshold=opt_cfg.mask_threshold
+        )
+        out = render(
+            gauss["xyz"],
+            gauss["scale"],
+            gauss["quat"],
+            gauss["opacity"],
+            cam,
+            bg=bg,
+            alive=gauss["alive"],
+            mean2d_offset=mean2d_offset,
+            antialiasing=pipe_cfg.antialiasing,
+            capacity=pipe_cfg.tile_capacity,
+            backend=pipe_cfg.backend,
+        )
+        loss, aux = L.total_loss(state, out, gauss, gt_image, opt_cfg, use_mask)
+        return loss, (aux, out["visibility"] & gauss["alive"], out["radii"],
+                      out["overflow"])
+
+    offset0 = jnp.zeros((P, 2), jnp.float32)
+    (loss, (aux, visible, radii, overflow)), (gparams, goffset) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(ts.params, offset0)
+
+    lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
+    lrs = dict(lrs)
+    lrs["opacity_raw"] = jnp.where(ts.opacity_frozen, 0.0, lrs["opacity_raw"])
+    new_params, new_opt = optim.adam_update(ts.params, gparams, ts.opt, lrs)
+
+    # densification statistics: accumulated norm of NDC-space screen grads of
+    # visible Gaussians (train.py:184-187, gaussian_model.py:618-620;
+    # pixel->NDC conversion: backward.cu:542-544 works in NDC*0.5*W units).
+    ndc = goffset * jnp.asarray(
+        [0.5 * cam.width, 0.5 * cam.height], goffset.dtype
+    )
+    gnorm = jnp.linalg.norm(ndc, axis=-1)
+    vis_f = visible.astype(gnorm.dtype)
+    new_ts = TrainState(
+        params=new_params,
+        opt=new_opt,
+        is_bezier=ts.is_bezier,
+        alive=ts.alive,
+        xyz_grad_accum=ts.xyz_grad_accum + gnorm * vis_f,
+        denom=ts.denom + vis_f,
+        max_radii=jnp.maximum(ts.max_radii, jnp.where(visible, radii, 0)),
+        step=ts.step + 1,
+        opacity_frozen=ts.opacity_frozen,
+    )
+    metrics = dict(aux)
+    metrics["overflow"] = overflow
+    metrics["n_visible"] = jnp.sum(visible)
+    return new_ts, metrics
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pipe_cfg", "use_mask", "n_gaussians", "mask_threshold")
+)
+def eval_render(
+    ts: TrainState,
+    cam: Camera,
+    pipe_cfg: PipelineConfig,
+    bg: jnp.ndarray,
+    use_mask: bool = False,
+    n_gaussians: int = 12,
+    mask_threshold: float = 0.01,
+):
+    state = curve_state_of(ts)
+    gauss = cs.gaussians(state, use_mask=use_mask, mask_threshold=mask_threshold)
+    return render(
+        gauss["xyz"],
+        gauss["scale"],
+        gauss["quat"],
+        gauss["opacity"],
+        cam,
+        bg=bg,
+        alive=gauss["alive"],
+        antialiasing=pipe_cfg.antialiasing,
+        capacity=pipe_cfg.tile_capacity,
+        backend=pipe_cfg.backend,
+    )

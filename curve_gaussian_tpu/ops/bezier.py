@@ -24,6 +24,24 @@ import jax.numpy as jnp
 
 from .quaternion import rotmat_to_quat
 
+
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False, eps: float = 1e-12):
+    """L2 norm with a finite gradient at 0 (returns 0 there).
+
+    jnp.linalg.norm's gradient at exactly zero is 0/0 = NaN; capacity-padded
+    (dead) curves hit that constantly, so every norm on possibly-degenerate
+    geometry must go through here.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    pos = sq > eps
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+
+def safe_normalize(x: jnp.ndarray, axis=-1, eps: float = 1e-12):
+    """x/|x| with zero output (and finite gradient) for zero input."""
+    n = safe_norm(x, axis=axis, keepdims=True, eps=eps)
+    return x / jnp.where(n > 0, n, 1.0)
+
 # ---------------------------------------------------------------------------
 # Evaluation
 # ---------------------------------------------------------------------------
@@ -90,15 +108,15 @@ def tangent_frame(tangent: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     whose columns are (v0, v1, v2), v0 = tangent direction.  Degenerate
     tangents (parallel to the primary up vector) fall back to a secondary up.
     """
-    v0 = tangent / (jnp.linalg.norm(tangent, axis=-1, keepdims=True) + eps)
+    v0 = safe_normalize(tangent)
     up1 = jnp.array([0.0, 0.0, 1.0], dtype=tangent.dtype)
     up2 = jnp.array([0.0, 1.0, 0.0], dtype=tangent.dtype)
     a1 = jnp.cross(v0, jnp.broadcast_to(up1, v0.shape))
     a2 = jnp.cross(v0, jnp.broadcast_to(up2, v0.shape))
-    n1 = jnp.linalg.norm(a1, axis=-1, keepdims=True)
+    n1 = safe_norm(a1, keepdims=True)
     use2 = n1 < 1e-4
     a = jnp.where(use2, a2, a1)
-    v1 = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + eps)
+    v1 = safe_normalize(a)
     v2 = jnp.cross(v0, v1)
     return jnp.stack([v0, v1, v2], axis=-1)
 
@@ -125,7 +143,7 @@ def curve_gaussians(
     t = sample_t_midpoints(n_gaussians, dtype=cp.dtype)
     xyz = curve_point(cp, t, is_bezier)
     xyz_back = curve_point(cp, t - 0.5 / n_gaussians, is_bezier)
-    s0 = jnp.linalg.norm(xyz - xyz_back, axis=-1)  # [N, M]
+    s0 = safe_norm(xyz - xyz_back, axis=-1)  # [N, M]
     tangent = curve_tangent(cp, t, is_bezier)  # [N, M, 3]
     rot = tangent_frame(tangent, eps)  # [N, M, 3, 3]
     quat = rotmat_to_quat(rot)  # [N, M, 4]
