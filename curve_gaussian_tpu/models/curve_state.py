@@ -45,6 +45,10 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
 
+def inverse_sigmoid_np(x):
+    return np.log(x / (1.0 - x))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CurveState:
