@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: full fwd+bwd rasterization throughput on an ABC-like workload.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload mirrors the reference's typical problem (SURVEY §6): 3375 seed
+curves x 12 Gaussians = 40.5k splats, 512x512 single-channel edge render,
+full training step (curve->Gaussian derivation, render, all losses,
+backward to control points, Adam).  Metric: megapixels/s/chip of fwd+bwd
+rasterization work (pixels * iterations / time).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); we compare
+against an estimated 100 Mpix/s fwd+bwd for the reference CUDA pipeline on
+an A100 at this workload (renderCUDA fwd+bwd ~2.6ms/iter at 0.26 Mpix).
+The north-star target is >=3x per chip.
+"""
+import json
+import sys
+import time
+
+BASELINE_MPIX_S = 100.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import dataclasses
+
+    from curve_gaussian_tpu.config import OptimizationConfig, PipelineConfig
+    from curve_gaussian_tpu.data import synthetic
+    from curve_gaussian_tpu.engine import train as T
+    from curve_gaussian_tpu.models import curve_state as cs
+
+    H = W = 512
+    n_views = 4
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    t0 = time.time()
+    cams = synthetic.ring_cameras(n_views, H, W)
+    rng = np.random.default_rng(0)
+    gts = [
+        jnp.asarray(rng.uniform(size=(H, W)) ** 4, jnp.float32)
+        for _ in range(n_views)
+    ]
+    seed_pts = synthetic.grid_seed_points(15)  # 3375 curves
+    state = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
+    ts = T.init_train_state(state)
+    opt_cfg = OptimizationConfig()
+    pipe_cfg = PipelineConfig(tile_capacity=1024)
+    bg = jnp.zeros(())
+    print(
+        f"setup {time.time()-t0:.1f}s; capacity {state.capacity} curves, "
+        f"{state.capacity*12} gaussians, {H}x{W} px",
+        file=sys.stderr,
+    )
+
+    # warmup / compile
+    t0 = time.time()
+    ts, m = T.train_step(
+        ts, cams[0], gts[0], bg, opt_cfg, pipe_cfg, use_mask=False,
+        n_gaussians=12,
+    )
+    jax.block_until_ready(m["total"])
+    print(f"compile+first step {time.time()-t0:.1f}s", file=sys.stderr)
+
+    n_iters = 30
+    t0 = time.time()
+    for i in range(n_iters):
+        ts, m = T.train_step(
+            ts, cams[i % n_views], gts[i % n_views], bg, opt_cfg, pipe_cfg,
+            use_mask=False, n_gaussians=12,
+        )
+    jax.block_until_ready(m["total"])
+    dt = time.time() - t0
+    iters_per_s = n_iters / dt
+    mpix_per_s = iters_per_s * H * W / 1e6
+    print(
+        f"{n_iters} full train steps in {dt:.2f}s -> {iters_per_s:.2f} it/s, "
+        f"{mpix_per_s:.1f} Mpix/s fwd+bwd (loss {float(m['total']):.4f})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "fwd_bwd_train_megapixels_per_s_per_chip",
+                "value": round(mpix_per_s, 2),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_per_s / BASELINE_MPIX_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,8 @@ from typing import Dict, List, Optional
 import numpy as np
 from scipy.spatial import cKDTree
 
+from ..native import nn1
+
 DEFAULT_THRESHOLDS = (0.005, 0.01, 0.02)
 
 
@@ -47,8 +49,8 @@ def chamfer(pred: np.ndarray, gt: np.ndarray):
     comp = mean gt->pred dist (eval_utils.py:77-130)."""
     if len(pred) == 0 or len(gt) == 0:
         return float("inf"), float("inf"), float("inf")
-    d_pred_to_gt, _ = cKDTree(gt).query(pred, k=1)
-    d_gt_to_pred, _ = cKDTree(pred).query(gt, k=1)
+    d_pred_to_gt, _ = nn1(gt, pred)
+    d_gt_to_pred, _ = nn1(pred, gt)
     acc = float(np.mean(d_pred_to_gt))
     comp = float(np.mean(d_gt_to_pred))
     return acc + comp, acc, comp
@@ -68,8 +70,8 @@ def precision_recall_iou(
             out[f"fscore_{t}"] = 0.0
             out[f"IOU_{t}"] = 0.0
         return out
-    d_pred, _ = cKDTree(gt).query(pred, k=1)
-    d_gt, _ = cKDTree(pred).query(gt, k=1)
+    d_pred, _ = nn1(gt, pred)
+    d_gt, _ = nn1(pred, gt)
     for t in thresholds:
         correct_pred = int(np.sum(d_pred < t))
         correct_gt = int(np.sum(d_gt < t))
@@ -95,7 +97,7 @@ def direction_similarity(
     (eval_ABC.py:27-38)."""
     if len(pred_points) == 0 or len(gt_points) == 0:
         return 0.0
-    _, idx = cKDTree(gt_points).query(pred_points, k=1)
+    _, idx = nn1(gt_points, pred_points)
     g = gt_dirs[idx]
     num = np.abs(np.sum(pred_dirs * g, axis=1))
     den = np.linalg.norm(pred_dirs, axis=1) * np.linalg.norm(g, axis=1) + 1e-12

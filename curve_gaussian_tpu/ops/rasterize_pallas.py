@@ -16,14 +16,18 @@ re-rasterization + atomicAdd (backward.cu:453-675):
     dT_N/dalpha_j = -T_N / (1 - alpha_j)
 
 so one front-to-back pass with running prefixes produces exact gradients.
-Per-instance gradients are written to a dense [tiles, NF, K] table (no
+Per-instance gradients are written to a dense [tiles, K, NF] table (no
 atomics) and flow back to Gaussians through the autodiff transpose of the
 payload gather (XLA's deterministic scatter-add).
 
-Pixel tiles are 8 x 128 = one f32 vector register; payload rows are stored
-field-major [tiles, NF, K] so a tile's instances stream contiguous in the
-lane dimension.
-"""
+Memory-access design (probed against Mosaic on v5e): per-instance fields
+are read as SCALARS from the VMEM payload block — `ref[0, j, f]` with a
+dynamic sublane index and static lane index lowers to a scalar load + splat
+and measured ~4x faster than slab loads with static extraction.  (1,1)->
+(8,128) vector broadcasts and scalar VMEM stores are NOT implemented in
+Mosaic, so the backward assembles each 8-instance gradient slab in vector
+registers via constant-one-hot accumulation and stores it with an 8-aligned
+dynamic sublane slice."""
 from __future__ import annotations
 
 import functools
@@ -37,11 +41,11 @@ from .binning import TILE_H, TILE_W, Binning
 from .projection import Preprocessed
 from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
-NF = 16  # payload fields (12 used, padded to a sublane multiple)
+NF = 16  # payload fields (12 used, padded)
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OPA, F_EX, F_EY = 0, 1, 2, 3, 4, 5, 6, 7
 F_COL, F_INVD, F_AM0 = 8, 9, 10  # allmap occupies 10..13
 
-_CHUNK = 8  # instances processed between liveness checks
+_CHUNK = 8  # instances per sublane-aligned group
 
 
 def _interpret() -> bool:
@@ -54,7 +58,7 @@ def build_payload(
     allmap: jnp.ndarray,
     binning: Binning,
 ) -> jnp.ndarray:
-    """Gather per-Gaussian fields into the [T, NF, K] per-tile table.
+    """Gather per-Gaussian fields into the [T, K, NF] per-tile table.
 
     Pure jnp: its autodiff transpose is exactly the deterministic
     segment-sum of per-instance gradients back to Gaussians.
@@ -80,27 +84,20 @@ def build_payload(
             jnp.zeros_like(color),
             jnp.zeros_like(color),
         ],
-        axis=0,
-    )  # [NF, P]
-    payload = fields[:, idx]  # [NF, T, K]
-    payload = jnp.where(ok[None], payload, 0.0)
-    return payload.transpose(1, 0, 2)  # [T, NF, K]
-
-
-def _f(payload_ref, f, j):
-    """(1,1) view of payload field f, instance j — broadcasts over the tile."""
-    return payload_ref[0, f, pl.ds(j, 1)].reshape(1, 1)
+        axis=-1,
+    )  # [P, NF]
+    payload = fields[idx]  # [T, K, NF]
+    return jnp.where(ok[..., None], payload, 0.0)
 
 
 def _pixel_grids(dtype):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
-    px = (tx * TILE_W).astype(dtype) + jax.lax.broadcasted_iota(
-        dtype, (TILE_H, TILE_W), 1
-    )
-    py = (ty * TILE_H).astype(dtype) + jax.lax.broadcasted_iota(
-        dtype, (TILE_H, TILE_W), 0
-    )
+    # Mosaic only lowers integer iota; cast afterwards.
+    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    px = (tx * TILE_W + ix).astype(dtype)
+    py = (ty * TILE_H + iy).astype(dtype)
     return px, py
 
 
@@ -111,6 +108,11 @@ def _count(counts_ref):
     return counts_ref[ty * ntx + tx]
 
 
+def _f(payload_ref, j, f: int):
+    """Scalar load of instance j's field f (dynamic sublane, static lane)."""
+    return payload_ref[0, j, f]
+
+
 def _fwd_kernel(counts_ref, bg_ref, payload_ref, col_ref, invd_ref, t_ref, am_ref):
     fdt = payload_ref.dtype
     n = _count(counts_ref)
@@ -118,48 +120,47 @@ def _fwd_kernel(counts_ref, bg_ref, payload_ref, col_ref, invd_ref, t_ref, am_re
     zero = jnp.zeros((TILE_H, TILE_W), fdt)
 
     def blend(j, st):
+        # act is carried as f32 (Mosaic cannot carry i1 vectors in loops)
         T, act, C, D, A0, A1, A2, A3 = st
-        mx = _f(payload_ref, F_MX, j)
-        my = _f(payload_ref, F_MY, j)
-        ca = _f(payload_ref, F_CA, j)
-        cb = _f(payload_ref, F_CB, j)
-        cc = _f(payload_ref, F_CC, j)
-        opa = _f(payload_ref, F_OPA, j)
-        ex = _f(payload_ref, F_EX, j)
-        ey = _f(payload_ref, F_EY, j)
-        dx = mx - px
-        dy = my - py
-        inside = (jnp.abs(dx) <= ex) & (jnp.abs(dy) <= ey)
+        act_b = act > 0.5
+        dx = _f(payload_ref, j, F_MX) - px
+        dy = _f(payload_ref, j, F_MY) - py
+        ca = _f(payload_ref, j, F_CA)
+        cb = _f(payload_ref, j, F_CB)
+        cc = _f(payload_ref, j, F_CC)
+        inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
+            jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+        )
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
+        alpha = jnp.minimum(ALPHA_MAX, _f(payload_ref, j, F_OPA) * jnp.exp(power))
         cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
         test_T = jnp.where(cand, T * (1.0 - alpha), T)
         newly_done = cand & (test_T < T_EPS)
-        contrib = cand & (~newly_done) & act
+        contrib = cand & (~newly_done) & act_b
         w = jnp.where(contrib, alpha * T, zero)
-        C = C + _f(payload_ref, F_COL, j) * w
-        D = D + _f(payload_ref, F_INVD, j) * w
-        A0 = A0 + _f(payload_ref, F_AM0, j) * w
-        A1 = A1 + _f(payload_ref, F_AM0 + 1, j) * w
-        A2 = A2 + _f(payload_ref, F_AM0 + 2, j) * w
-        A3 = A3 + _f(payload_ref, F_AM0 + 3, j) * w
+        C = C + _f(payload_ref, j, F_COL) * w
+        D = D + _f(payload_ref, j, F_INVD) * w
+        A0 = A0 + _f(payload_ref, j, F_AM0) * w
+        A1 = A1 + _f(payload_ref, j, F_AM0 + 1) * w
+        A2 = A2 + _f(payload_ref, j, F_AM0 + 2) * w
+        A3 = A3 + _f(payload_ref, j, F_AM0 + 3) * w
         T = jnp.where(contrib, test_T, T)
-        act = act & (~newly_done)
+        act = jnp.where(newly_done, zero, act)
         return (T, act, C, D, A0, A1, A2, A3)
 
-    def chunk_cond(st):
-        j0, state = st
-        return (j0 < n) & jnp.any(state[1])
+    def group_cond(st):
+        g, state = st
+        return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
 
-    def chunk_body(st):
-        j0, state = st
+    def group_body(st):
+        g, state = st
         for i in range(_CHUNK):
-            state = blend(j0 + i, state)
-        return (j0 + _CHUNK, state)
+            state = blend(g * _CHUNK + i, state)
+        return (g + 1, state)
 
-    init = (zero + 1.0, zero < 1.0, zero, zero, zero, zero, zero, zero)
+    init = (zero + 1.0, zero + 1.0, zero, zero, zero, zero, zero, zero)
     _, (T, _, C, D, A0, A1, A2, A3) = jax.lax.while_loop(
-        chunk_cond, chunk_body, (jnp.int32(0), init)
+        group_cond, group_body, (jnp.int32(0), init)
     )
     col_ref[:, :] = C + T * bg_ref[0]
     invd_ref[:, :] = D
@@ -205,25 +206,36 @@ def _bwd_kernel(
     oa2 = outam_ref[2, :, :]
     oa3 = outam_ref[3, :, :]
 
-    def blend(j, st):
-        T, act, Ac, Ad, A0, A1, A2, A3 = st
-        mx = _f(payload_ref, F_MX, j)
-        my = _f(payload_ref, F_MY, j)
-        ca = _f(payload_ref, F_CA, j)
-        cb = _f(payload_ref, F_CB, j)
-        cc = _f(payload_ref, F_CC, j)
-        opa = _f(payload_ref, F_OPA, j)
-        ex = _f(payload_ref, F_EX, j)
-        ey = _f(payload_ref, F_EY, j)
-        col = _f(payload_ref, F_COL, j)
-        ivd = _f(payload_ref, F_INVD, j)
-        am0 = _f(payload_ref, F_AM0, j)
-        am1 = _f(payload_ref, F_AM0 + 1, j)
-        am2 = _f(payload_ref, F_AM0 + 2, j)
-        am3 = _f(payload_ref, F_AM0 + 3, j)
-        dx = mx - px
-        dy = my - py
-        inside = (jnp.abs(dx) <= ex) & (jnp.abs(dy) <= ey)
+    # in-kernel constant one-hot masks (captured jnp constants are rejected
+    # by pallas_call; iota comparisons fold to constants at compile time)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
+    zrow = jnp.zeros((_CHUNK, NF), fdt)
+
+    def onehot_put(rows, i: int, f: int, v):
+        mask = (sub_iota == i) & (lane_iota == f)
+        return rows + jnp.where(mask, v, zrow)
+
+    def blend(j, i, st):
+        T, act, Ac, Ad, A0, A1, A2, A3, rows = st
+        act_b = act > 0.5
+        mxv = _f(payload_ref, j, F_MX)
+        myv = _f(payload_ref, j, F_MY)
+        ca = _f(payload_ref, j, F_CA)
+        cb = _f(payload_ref, j, F_CB)
+        cc = _f(payload_ref, j, F_CC)
+        opa = _f(payload_ref, j, F_OPA)
+        col = _f(payload_ref, j, F_COL)
+        ivd = _f(payload_ref, j, F_INVD)
+        am0 = _f(payload_ref, j, F_AM0)
+        am1 = _f(payload_ref, j, F_AM0 + 1)
+        am2 = _f(payload_ref, j, F_AM0 + 2)
+        am3 = _f(payload_ref, j, F_AM0 + 3)
+        dx = mxv - px
+        dy = myv - py
+        inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
+            jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+        )
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         G = jnp.exp(power)
         alpha_u = opa * G
@@ -231,10 +243,9 @@ def _bwd_kernel(
         cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
         test_T = jnp.where(cand, T * (1.0 - alpha), T)
         newly_done = cand & (test_T < T_EPS)
-        contrib = cand & (~newly_done) & act
+        contrib = cand & (~newly_done) & act_b
         w = jnp.where(contrib, alpha * T, zero)
 
-        # prefix accumulators (including current instance)
         Ac = Ac + col * w
         Ad = Ad + ivd * w
         A0 = A0 + am0 * w
@@ -253,38 +264,54 @@ def _bwd_kernel(
         g_alpha = jnp.where(contrib, g_alpha, zero)
 
         d_power = g_alpha * alpha_u
-        for f, v in (
-            (F_MX, d_power * (-ca * dx - cb * dy)),
-            (F_MY, d_power * (-cc * dy - cb * dx)),
-            (F_CA, d_power * (-0.5 * dx * dx)),
-            (F_CB, d_power * (-dx * dy)),
-            (F_CC, d_power * (-0.5 * dy * dy)),
-            (F_OPA, g_alpha * G),
-            (F_COL, gc * w),
-            (F_INVD, gd * w),
-            (F_AM0, ga0 * w),
-            (F_AM0 + 1, ga1 * w),
-            (F_AM0 + 2, ga2 * w),
-            (F_AM0 + 3, ga3 * w),
-        ):
-            dpay_ref[0, f, pl.ds(j, 1)] = jnp.sum(v).reshape(1)
+        vals = (
+            (F_MX, jnp.sum(d_power * (-ca * dx - cb * dy))),
+            (F_MY, jnp.sum(d_power * (-cc * dy - cb * dx))),
+            (F_CA, jnp.sum(d_power * (-0.5 * dx * dx))),
+            (F_CB, jnp.sum(d_power * (-dx * dy))),
+            (F_CC, jnp.sum(d_power * (-0.5 * dy * dy))),
+            (F_OPA, jnp.sum(g_alpha * G)),
+            (F_COL, jnp.sum(gc * w)),
+            (F_INVD, jnp.sum(gd * w)),
+            (F_AM0, jnp.sum(ga0 * w)),
+            (F_AM0 + 1, jnp.sum(ga1 * w)),
+            (F_AM0 + 2, jnp.sum(ga2 * w)),
+            (F_AM0 + 3, jnp.sum(ga3 * w)),
+        )
+        # place the scalar grads at (row i, field f) via constant one-hots —
+        # Mosaic has no scalar VMEM stores or (1,1)->tile broadcasts
+        for f, v in vals:
+            rows = onehot_put(rows, i, f, v)
 
         T = jnp.where(contrib, test_T, T)
-        act = act & (~newly_done)
-        return (T, act, Ac, Ad, A0, A1, A2, A3)
+        act = jnp.where(newly_done, zero, act)
+        return (T, act, Ac, Ad, A0, A1, A2, A3, rows)
 
-    def chunk_cond(st):
-        j0, state = st
-        return (j0 < n) & jnp.any(state[1])
+    def group_cond(st):
+        g, state = st
+        return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
 
-    def chunk_body(st):
-        j0, state = st
+    def group_body(st):
+        g, state = st
+        state = state[:-1] + (jnp.zeros((_CHUNK, NF), fdt),)
         for i in range(_CHUNK):
-            state = blend(j0 + i, state)
-        return (j0 + _CHUNK, state)
+            state = blend(g * _CHUNK + i, i, state)
+        off = pl.multiple_of(g * _CHUNK, _CHUNK)
+        dpay_ref[0, pl.ds(off, _CHUNK), :] = state[-1]
+        return (g + 1, state)
 
-    init = (zero + 1.0, zero < 1.0, zero, zero, zero, zero, zero, zero)
-    jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), init))
+    init = (
+        zero + 1.0,
+        zero + 1.0,
+        zero,
+        zero,
+        zero,
+        zero,
+        zero,
+        zero,
+        jnp.zeros((_CHUNK, NF), fdt),
+    )
+    jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
 
 
 # ---------------------------------------------------------------------------
@@ -292,17 +319,11 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _grids(nty, ntx, counts, payload):
-    K = payload.shape[-1]
-    Hp, Wp = nty * TILE_H, ntx * TILE_W
-    return K, Hp, Wp
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def tile_blend(payload, counts, nty: int, ntx: int, bg=None):
     """Blend per-tile instance tables into padded images.
 
-    payload: [T, NF, K]; counts: [T] int32; bg: [1] background (color chan).
+    payload: [T, K, NF]; counts: [T] int32; bg: [1] background (color chan).
     Returns (color [Hp,Wp], invdepth [Hp,Wp], final_T [Hp,Wp], allmap [4,Hp,Wp]).
     """
     out, _ = _tile_blend_fwd(payload, counts, nty, ntx, bg)
@@ -310,13 +331,14 @@ def tile_blend(payload, counts, nty: int, ntx: int, bg=None):
 
 
 def _tile_blend_fwd(payload, counts, nty: int, ntx: int, bg):
-    K, Hp, Wp = _grids(nty, ntx, counts, payload)
+    K = payload.shape[1]
+    Hp, Wp = nty * TILE_H, ntx * TILE_W
     dt = payload.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec((1, NF, K), lambda i, j, c, b: (i * ntx + j, 0, 0)),
+            pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j)),
@@ -344,16 +366,18 @@ def _tile_blend_bwd(nty: int, ntx: int, res, g):
     payload, counts, bg, out = res
     col, invd, finT, am = out
     gc, gd, gtt, gam = g
-    K, Hp, Wp = _grids(nty, ntx, counts, payload)
+    K = payload.shape[1]
     dt = payload.dtype
     T = payload.shape[0]
     img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j))
-    am_spec = lambda: pl.BlockSpec((4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j))
+    am_spec = lambda: pl.BlockSpec(
+        (4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=[
-            pl.BlockSpec((1, NF, K), lambda i, j, c, b: (i * ntx + j, 0, 0)),
+            pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
             img(),
             img(),
             img(),
@@ -364,13 +388,13 @@ def _tile_blend_bwd(nty: int, ntx: int, res, g):
             am_spec(),
         ],
         out_specs=[
-            pl.BlockSpec((1, NF, K), lambda i, j, c, b: (i * ntx + j, 0, 0)),
+            pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
         ],
     )
     (dpay,) = pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((T, NF, K), dt)],
+        out_shape=[jax.ShapeDtypeStruct((T, K, NF), dt)],
         interpret=_interpret(),
     )(counts, bg, payload, col, invd, finT, am, gc, gd, gtt, gam)
     dbg = jnp.sum(gc * finT, dtype=dt).reshape(bg.shape)

@@ -1,0 +1,308 @@
+"""Multi-chip scaling via jax.sharding Mesh + shard_map.
+
+The reference is strictly single-GPU (SURVEY §2.3: no torch.distributed /
+NCCL anywhere); this module is the green-field TPU scaling story:
+
+  * VIEW-PARALLEL TRAINING (the default scaling axis): a batch of B views
+    per step, sharded across the mesh's 'data' axis.  Curve parameters are
+    replicated; every device renders + differentiates its own views; curve
+    gradients are psum-averaged over ICI and the (replicated) Adam update
+    is computed identically everywhere.  Each view's loss is entirely local
+    — no halo exchange — so scaling efficiency is communication-bound only
+    by one gradient all-reduce per step (a few MB), overlapped by XLA with
+    the backward pass.
+  * TILE-PARALLEL RENDERING: a single large view's tile rows sharded across
+    chips for inference; each device bins and blends only its rows (the
+    tile tables are per-row-group by construction, see ops/binning.py).
+
+Gradient semantics: a B-view step with mean-reduction equals B reference
+iterations' averaged gradient — batch scaling in the standard DP sense.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import functools as _ft
+
+from jax import shard_map as _shard_map
+
+
+def shard_map(f=None, *, mesh, in_specs, out_specs, check_rep=False):
+    # thin adapter over jax.shard_map (check_rep was renamed to check_vma)
+    return _shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=check_rep,
+    )
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import OptimizationConfig, PipelineConfig
+from ..engine import optim
+from ..engine.train import TrainState
+from ..models import curve_state as cs
+from ..models import losses as L
+from ..ops.camera import Camera
+from ..ops.render import render
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def batch_cameras(cams: Sequence[Camera]) -> Camera:
+    from ..ops.camera import stack_cameras
+
+    return stack_cameras(list(cams))
+
+
+def _one_view_grads(
+    params,
+    topo,
+    cam_arrays: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    gt: jnp.ndarray,
+    bg: jnp.ndarray,
+    opt_cfg: OptimizationConfig,
+    pipe_cfg: PipelineConfig,
+    use_mask: bool,
+    cam_geom,
+):
+    is_bezier, alive = topo
+    h, w, tfx, tfy = cam_geom
+    w2c, proj, center = cam_arrays
+    cam = Camera(
+        world_to_cam=w2c,
+        full_proj=proj,
+        cam_center=center,
+        height=h,
+        width=w,
+        tanfovx=tfx,
+        tanfovy=tfy,
+    )
+    P_g = alive.shape[0] * params["mask_raw"].shape[1]
+
+    def loss_fn(params, offset):
+        state = cs.CurveState(**params, is_bezier=is_bezier, alive=alive)
+        gauss = cs.gaussians(
+            state, use_mask=use_mask, mask_threshold=opt_cfg.mask_threshold
+        )
+        out = render(
+            gauss["xyz"],
+            gauss["scale"],
+            gauss["quat"],
+            gauss["opacity"],
+            cam,
+            bg=bg,
+            alive=gauss["alive"],
+            mean2d_offset=offset,
+            antialiasing=pipe_cfg.antialiasing,
+            capacity=pipe_cfg.tile_capacity,
+            backend=pipe_cfg.backend,
+        )
+        loss, aux = L.total_loss(state, out, gauss, gt, opt_cfg, use_mask)
+        return loss, (aux["total"], out["visibility"] & gauss["alive"], out["radii"])
+
+    offset0 = jnp.zeros((P_g, 2), jnp.float32)
+    (loss, (total, visible, radii)), (gp, goff) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, offset0)
+    return gp, goff, total, visible, radii
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom"),
+    donate_argnums=(0,),
+)
+def parallel_train_step(
+    ts: TrainState,
+    cam_arrays,  # (w2c [B,4,4], proj [B,4,4], centers [B,3]) sharded on B
+    gts: jnp.ndarray,  # [B, H, W] sharded on B
+    bg: jnp.ndarray,
+    opt_cfg: OptimizationConfig,
+    pipe_cfg: PipelineConfig,
+    use_mask: bool,
+    mesh_shape: Tuple[Tuple[str, int], ...],
+    cam_geom: Tuple[int, int, float, float],
+):
+    """One data-parallel step over a B-view batch.
+
+    mesh_shape: (("data", n),) — reconstructed here so the jitted function
+    stays hashable.  Params replicated, views sharded, grads psum-averaged.
+    """
+    mesh = make_mesh(dict(mesh_shape)["data"])
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), (P(), P()), (P("data"), P("data"), P("data")), P("data"), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_rep=False,
+    )
+    def grads_over_views(params, topo, cam_arrays, gts, bg):
+        nb = gts.shape[0]  # local views
+
+        def body(carry, idx):
+            gp_acc, goff_acc, tot_acc, vis_acc, rad_acc = carry
+            gp, goff, total, visible, radii = _one_view_grads(
+                params,
+                topo,
+                jax.tree.map(lambda a: a[idx], cam_arrays),
+                gts[idx],
+                bg,
+                opt_cfg,
+                pipe_cfg,
+                use_mask,
+                cam_geom,
+            )
+            return (
+                jax.tree.map(jnp.add, gp_acc, gp),
+                goff_acc + goff,
+                tot_acc + total,
+                vis_acc | visible,
+                jnp.maximum(rad_acc, radii),
+            ), None
+
+        P_g = topo[1].shape[0] * params["mask_raw"].shape[1]
+        init = (
+            jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros((P_g, 2), jnp.float32),
+            jnp.zeros(()),
+            jnp.zeros((P_g,), bool),
+            jnp.zeros((P_g,), jnp.int32),
+        )
+        (gp, goff, tot, vis, rad), _ = jax.lax.scan(
+            body, init, jnp.arange(nb)
+        )
+        nglobal = nb * jax.lax.psum(1, "data")
+        gp = jax.tree.map(
+            lambda g: jax.lax.psum(g, "data") / nglobal, gp
+        )
+        goff = jax.lax.psum(goff, "data") / nglobal
+        tot = jax.lax.psum(tot, "data") / nglobal
+        vis = jax.lax.psum(vis.astype(jnp.int32), "data") > 0
+        rad = jax.lax.pmax(rad, "data")
+        return gp, goff, tot, vis, rad
+
+    gp, goff, total, visible, radii = grads_over_views(
+        ts.params, (ts.is_bezier, ts.alive), cam_arrays, gts, bg
+    )
+    lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
+    lrs = dict(lrs)
+    lrs["opacity_raw"] = jnp.where(ts.opacity_frozen, 0.0, lrs["opacity_raw"])
+    new_params, new_opt = optim.adam_update(ts.params, gp, ts.opt, lrs)
+
+    ndc = goff * jnp.asarray(
+        [0.5 * cam_geom[1], 0.5 * cam_geom[0]], goff.dtype
+    )
+    gnorm = jnp.linalg.norm(ndc, axis=-1)
+    vis_f = visible.astype(gnorm.dtype)
+    new_ts = dataclasses.replace(
+        ts,
+        params=new_params,
+        opt=new_opt,
+        xyz_grad_accum=ts.xyz_grad_accum + gnorm * vis_f,
+        denom=ts.denom + vis_f,
+        max_radii=jnp.maximum(ts.max_radii, jnp.where(visible, radii, 0)),
+        step=ts.step + 1,
+    )
+    return new_ts, {"total": total}
+
+
+def camera_batch_arrays(cams: Sequence[Camera], mesh: Mesh | None = None):
+    """Stack per-view camera arrays [B,...], optionally sharded over 'data'."""
+    w2c = jnp.stack([c.world_to_cam for c in cams])
+    proj = jnp.stack([c.full_proj for c in cams])
+    ctr = jnp.stack([c.cam_center for c in cams])
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("data"))
+        w2c, proj, ctr = (
+            jax.device_put(w2c, sh),
+            jax.device_put(proj, sh),
+            jax.device_put(ctr, sh),
+        )
+    return (w2c, proj, ctr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pipe_cfg", "mesh_shape", "cam_geom", "n_gaussians"),
+)
+def tile_parallel_render(
+    ts: TrainState,
+    cam_arrays,  # (w2c [4,4], proj [4,4], center [3])
+    cam_geom: Tuple[int, int, float, float],
+    pipe_cfg: PipelineConfig,
+    bg: jnp.ndarray,
+    mesh_shape: Tuple[Tuple[str, int], ...],
+    n_gaussians: int = 12,
+):
+    """Single-view render with the image's tile ROWS sharded across chips.
+
+    Gaussians are replicated; each device bins/blends only its row block and
+    the shards concatenate into the full image (pure spatial decomposition —
+    rendering is embarrassingly parallel across tiles)."""
+    from ..ops.binning import TILE_H, bin_gaussians, tile_grid
+    from ..ops.projection import preprocess
+    from ..ops.rasterize_pallas import build_payload, tile_blend
+    from ..ops.render import main_axis_allmap
+
+    mesh = make_mesh(dict(mesh_shape)["data"])
+    n_dev = dict(mesh_shape)["data"]
+    H, W = cam_geom[0], cam_geom[1]
+    cam_static = Camera(
+        world_to_cam=cam_arrays[0],
+        full_proj=cam_arrays[1],
+        cam_center=cam_arrays[2],
+        height=H,
+        width=W,
+        tanfovx=cam_geom[2],
+        tanfovy=cam_geom[3],
+    )
+    rows_per_dev = (-(-H // (TILE_H * n_dev))) * TILE_H
+
+    state = cs.CurveState(**ts.params, is_bezier=ts.is_bezier, alive=ts.alive)
+    gauss = cs.gaussians(state)
+    # preprocess once with the FULL camera (projection depends on full H/W),
+    # replicated; each device then bins/blends only its row block by shifting
+    # mean2d into local row coordinates.
+    pre = preprocess(
+        gauss["xyz"],
+        gauss["scale"],
+        gauss["quat"],
+        gauss["opacity"],
+        cam_static,
+        alive=gauss["alive"],
+    )
+    allmap = main_axis_allmap(gauss["xyz"], gauss["quat"], cam_static)
+    color = jnp.ones_like(gauss["opacity"])
+    bg_arr = jnp.asarray(bg, jnp.float32).reshape(1)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    def render_rows(pre_in, color, allmap, row_offsets):
+        r0 = row_offsets[0].astype(pre_in.mean2d.dtype)
+        local_pre = pre_in._replace(
+            mean2d=pre_in.mean2d - jnp.asarray([0.0, 1.0]) * r0
+        )
+        binning = bin_gaussians(
+            local_pre, rows_per_dev, W, capacity=pipe_cfg.tile_capacity
+        )
+        payload = build_payload(local_pre, color, allmap, binning)
+        nty, ntx = tile_grid(rows_per_dev, W)
+        img, _, _, _ = tile_blend(payload, binning.counts, nty, ntx, bg_arr)
+        return img[None, :rows_per_dev, :W]
+
+    row_offsets = jnp.arange(n_dev, dtype=jnp.int32) * rows_per_dev
+    img = render_rows(pre, color, allmap, row_offsets)
+    return img.reshape(n_dev * rows_per_dev, W)[:H]
