@@ -187,6 +187,10 @@ def train_scene(
     edge_dict = extract_mod.curves_to_edge_dict(
         host, merge_endpoints_flag=opt_cfg.merge_endpoints_flag
     )
+    if opt_cfg.visible_checking:
+        edge_dict = extract_mod.filter_visible_edges(
+            edge_dict, cameras, edge_maps
+        )
     extract_mod.save_parametric_edges(edge_dict, model_path)
     pts, _ = extract_mod.sample_edge_dict(edge_dict)
     if len(pts):

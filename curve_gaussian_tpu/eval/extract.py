@@ -83,6 +83,63 @@ def sample_edge_dict(
     return pts, dirs
 
 
+def filter_visible_edges(
+    edge_dict: Dict,
+    cameras,
+    edge_maps,
+    edge_visibility_threshold: float = 0.1,
+    frames_ratio: float = 0.05,
+    sample_resolution: float = SAMPLE_RESOLUTION,
+) -> Dict:
+    """Drop edges not observed 'on' in enough views (the reference's
+    optional visible_checking, extract_para_edge.py:157-208): an edge is
+    visible in a frame when the mean edge-map response at its projected
+    samples exceeds the threshold AND the max exceeds 0.5; kept when
+    visible in >= ceil(frames_ratio * n_frames) frames."""
+    import math
+
+    curves = np.array(edge_dict.get("curves_ctl_pts", [])).reshape(-1, 4, 3)
+    lines = np.array(edge_dict.get("lines_end_pts", [])).reshape(-1, 2, 3)
+    per_edge_pts = []
+    for cp in curves:
+        n = max(int(bezier_length(cp) // sample_resolution), 2)
+        per_edge_pts.append(fitting.sample_bezier(cp, np.linspace(0, 1, n)))
+    for seg in lines:
+        n = max(int(np.linalg.norm(seg[1] - seg[0]) // sample_resolution), 2)
+        t = np.linspace(0, 1, n)
+        per_edge_pts.append(seg[0] + t[:, None] * (seg[1] - seg[0]))
+    if not per_edge_pts:
+        return edge_dict
+    n_edges = len(per_edge_pts)
+    needed = math.ceil(frames_ratio * len(cameras))
+    visible_count = np.zeros(n_edges, int)
+    for cam, emap in zip(cameras, edge_maps):
+        emap = np.asarray(emap)
+        h, w = emap.shape
+        proj = np.asarray(cam.full_proj)
+        for e, pts in enumerate(per_edge_pts):
+            hom = pts @ proj[:3, :3].T + proj[:3, 3]
+            ww = pts @ proj[3, :3] + proj[3, 3]
+            ok = ww > 1e-6
+            ndc = hom[:, :2] / np.maximum(ww[:, None], 1e-6)
+            u = ((ndc[:, 0] + 1) * w - 1) * 0.5
+            v = ((ndc[:, 1] + 1) * h - 1) * 0.5
+            ui, vi = np.round(u).astype(int), np.round(v).astype(int)
+            ok &= (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+            if not ok.any():
+                continue
+            resp = emap[vi[ok], ui[ok]]
+            if resp.mean() > edge_visibility_threshold and resp.max() > 0.5:
+                visible_count[e] += 1
+    keep = visible_count >= needed
+    keep_c = keep[: len(curves)]
+    keep_l = keep[len(curves):]
+    return {
+        "curves_ctl_pts": curves[keep_c].reshape(-1, 12).tolist(),
+        "lines_end_pts": lines[keep_l].reshape(-1, 6).tolist(),
+    }
+
+
 def save_parametric_edges(edge_dict: Dict, model_path: str) -> str:
     os.makedirs(model_path, exist_ok=True)
     path = os.path.join(model_path, "parametric_edges.json")
