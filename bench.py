@@ -56,29 +56,39 @@ def main():
         file=sys.stderr,
     )
 
-    # warmup / compile
-    t0 = time.time()
-    ts, m = T.train_step(
-        ts, cams[0], gts[0], bg, opt_cfg, pipe_cfg, use_mask=False,
-        n_gaussians=12,
-    )
-    jax.block_until_ready(m["total"])
-    print(f"compile+first step {time.time()-t0:.1f}s", file=sys.stderr)
+    # chunked steps: K iterations fused in one dispatch (lax.scan) so host /
+    # tunnel dispatch latency does not pollute the measurement
+    w2c = jnp.stack([c.world_to_cam for c in cams])
+    proj = jnp.stack([c.full_proj for c in cams])
+    ctr = jnp.stack([c.cam_center for c in cams])
+    geom = (H, W, cams[0].tanfovx, cams[0].tanfovy)
+    gt_all = jnp.stack(gts)
+    K = 50
 
-    n_iters = 30
-    t0 = time.time()
-    for i in range(n_iters):
-        ts, m = T.train_step(
-            ts, cams[i % n_views], gts[i % n_views], bg, opt_cfg, pipe_cfg,
-            use_mask=False, n_gaussians=12,
+    def chunk(ts, seed):
+        vi = jnp.arange(K, dtype=jnp.int32) % n_views
+        return T.train_steps_scan(
+            ts, (w2c[vi], proj[vi], ctr[vi]), gt_all[vi], bg, opt_cfg,
+            pipe_cfg, use_mask=False, n_gaussians=12, cam_geom=geom,
         )
-    jax.block_until_ready(m["total"])
+
+    t0 = time.time()
+    ts, m = chunk(ts, 0)
+    loss0 = float(m["total"][-1])
+    print(f"compile+first chunk ({K} steps) {time.time()-t0:.1f}s", file=sys.stderr)
+
+    n_chunks = 4
+    t0 = time.time()
+    for i in range(n_chunks):
+        ts, m = chunk(ts, i)
+    loss = float(m["total"][-1])  # device roundtrip = hard sync
     dt = time.time() - t0
+    n_iters = n_chunks * K
     iters_per_s = n_iters / dt
     mpix_per_s = iters_per_s * H * W / 1e6
     print(
         f"{n_iters} full train steps in {dt:.2f}s -> {iters_per_s:.2f} it/s, "
-        f"{mpix_per_s:.1f} Mpix/s fwd+bwd (loss {float(m['total']):.4f})",
+        f"{mpix_per_s:.1f} Mpix/s fwd+bwd (loss {loss:.4f})",
         file=sys.stderr,
     )
     print(

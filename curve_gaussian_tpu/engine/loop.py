@@ -26,7 +26,13 @@ from ..models import curve_state as cs
 from ..models import surgery
 from ..ops.camera import Camera
 from . import checkpoint as ckpt_mod
-from .train import TrainState, eval_render, init_train_state, train_step
+from .train import (
+    TrainState,
+    eval_render,
+    init_train_state,
+    train_step,
+    train_steps_scan,
+)
 
 
 class JsonlLogger:
@@ -91,6 +97,7 @@ def train_scene(
     log_every: int = 10,
     quiet: bool = False,
     seed: int = 0,
+    scan_chunk: int = 100,
 ) -> TrainResult:
     m = model_cfg.n_gaussians
     state = cs.init_state(seed_points, n_views=len(cameras), n_gaussians=m)
@@ -113,30 +120,63 @@ def train_scene(
     bg = jnp.asarray(bg_val, jnp.float32)
 
     logger = JsonlLogger(model_path, quiet=quiet)
-    gt_dev = [jnp.asarray(e) for e in edge_maps]
+    # device-resident stacks; per-chunk views are gathered on device
+    gt_all = jnp.stack([jnp.asarray(e) for e in edge_maps])
+    w2c_all = jnp.stack([c.world_to_cam for c in cameras])
+    proj_all = jnp.stack([c.full_proj for c in cameras])
+    ctr_all = jnp.stack([c.cam_center for c in cameras])
+    cam_geom = (
+        cameras[0].height,
+        cameras[0].width,
+        cameras[0].tanfovx,
+        cameras[0].tanfovy,
+    )
     view_stack: List[int] = []
     t_start = time.time()
 
-    for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
-        if not view_stack:
-            view_stack = list(range(len(cameras)))
-        vi = view_stack.pop(rng.randrange(len(view_stack)))
-        use_mask = iteration >= opt_cfg.densify_until_iter
-        ts, metrics = train_step(
+    # host-event boundaries: surgery cadence is multiples of 500 (densify
+    # interval, the 1000/500-offset schedule), plus explicit iteration sets
+    events = set()
+    for i in range(first_iter + 1, opt_cfg.iterations + 1):
+        if i % 500 == 0 or i == opt_cfg.densify_until_iter:
+            events.add(i)
+    events.update(t for t in test_iterations)
+    events.update(t for t in save_iterations)
+    events.update(t for t in checkpoint_iterations)
+    events.add(opt_cfg.iterations)
+
+    iteration = first_iter
+    while iteration < opt_cfg.iterations:
+        next_event = min(
+            [e for e in events if e > iteration] or [opt_cfg.iterations]
+        )
+        k = min(next_event - iteration, scan_chunk)
+        idxs = []
+        for _ in range(k):
+            if not view_stack:
+                view_stack = list(range(len(cameras)))
+            idxs.append(view_stack.pop(rng.randrange(len(view_stack))))
+        vi = jnp.asarray(idxs, jnp.int32)
+        use_mask = (iteration + 1) >= opt_cfg.densify_until_iter
+        ts, metrics = train_steps_scan(
             ts,
-            cameras[vi],
-            gt_dev[vi],
+            (w2c_all[vi], proj_all[vi], ctr_all[vi]),
+            gt_all[vi],
             bg,
             opt_cfg,
             pipe_cfg,
             use_mask=use_mask,
             n_gaussians=m,
+            cam_geom=cam_geom,
         )
-
-        if iteration % log_every == 0:
-            logger.log(iteration, metrics)
-            if iteration % (log_every * 50) == 0:
-                logger.progress(iteration, int(jnp.sum(ts.alive)))
+        metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+        for j in range(k):
+            it_j = iteration + 1 + j
+            if it_j % log_every == 0:
+                logger.log(it_j, {kk: v[j] for kk, v in metrics.items()})
+        iteration += k
+        if iteration % (log_every * 50) < k:
+            logger.progress(iteration, int(jnp.sum(ts.alive)))
 
         ts2 = surgery.apply_schedule(ts, iteration, opt_cfg)
         if ts2 is not ts:

@@ -63,6 +63,21 @@ def curve_state_of(ts: TrainState) -> cs.CurveState:
 def train_step(
     ts: TrainState,
     cam: Camera,
+    gt_image: jnp.ndarray,
+    bg: jnp.ndarray,
+    opt_cfg: OptimizationConfig,
+    pipe_cfg: PipelineConfig,
+    use_mask: bool,
+    n_gaussians: int,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    return _train_step_impl(
+        ts, cam, gt_image, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians
+    )
+
+
+def _train_step_impl(
+    ts: TrainState,
+    cam: Camera,
     gt_image: jnp.ndarray,  # [H, W]
     bg: jnp.ndarray,  # scalar
     opt_cfg: OptimizationConfig,
@@ -130,6 +145,49 @@ def train_step(
     metrics["overflow"] = overflow
     metrics["n_visible"] = jnp.sum(visible)
     return new_ts, metrics
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "cam_geom"),
+    donate_argnums=(0,),
+)
+def train_steps_scan(
+    ts: TrainState,
+    cam_arrays,  # (w2c [K,4,4], proj [K,4,4], centers [K,3])
+    gts: jnp.ndarray,  # [K, H, W]
+    bg: jnp.ndarray,
+    opt_cfg: OptimizationConfig,
+    pipe_cfg: PipelineConfig,
+    use_mask: bool,
+    n_gaussians: int,
+    cam_geom,  # (H, W, tanfovx, tanfovy) static
+):
+    """Run K training steps in ONE dispatch via lax.scan.
+
+    Host-dispatch latency (significant on remote/tunneled TPU runtimes)
+    amortizes over the chunk; surgery/logging happen between chunks on the
+    host.  Returns (ts, stacked per-step metrics)."""
+    h, w, tfx, tfy = cam_geom
+
+    def body(ts, xs):
+        w2c, proj, ctr, gt = xs
+        cam = Camera(
+            world_to_cam=w2c,
+            full_proj=proj,
+            cam_center=ctr,
+            height=h,
+            width=w,
+            tanfovx=tfx,
+            tanfovy=tfy,
+        )
+        ts, metrics = _train_step_impl(
+            ts, cam, gt, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians
+        )
+        return ts, metrics
+
+    ts, metrics = jax.lax.scan(body, ts, (*cam_arrays, gts))
+    return ts, metrics
 
 
 @functools.partial(
