@@ -158,6 +158,7 @@ def train_scene(
             idxs.append(view_stack.pop(rng.randrange(len(view_stack))))
         vi = jnp.asarray(idxs, jnp.int32)
         use_mask = (iteration + 1) >= opt_cfg.densify_until_iter
+        t_chunk = time.time()
         ts, metrics = train_steps_scan(
             ts,
             (w2c_all[vi], proj_all[vi], ctr_all[vi]),
@@ -170,6 +171,10 @@ def train_scene(
             cam_geom=cam_geom,
         )
         metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+        # per-iteration wall time (the reference's iter_time TB scalar)
+        metrics["iter_time"] = np.full(
+            k, (time.time() - t_chunk) / k, np.float32
+        )
         for j in range(k):
             it_j = iteration + 1 + j
             if it_j % log_every == 0:

@@ -105,6 +105,10 @@ def _train_step_impl(
             alive=gauss["alive"],
             mean2d_offset=mean2d_offset,
             antialiasing=pipe_cfg.antialiasing,
+            # the training loss consumes only the color channel; skipping
+            # the allmap/invdepth channels cuts per-instance kernel work
+            render_geo=False,
+            compute_invdepth=False,
             capacity=pipe_cfg.tile_capacity,
             backend=pipe_cfg.backend,
         )

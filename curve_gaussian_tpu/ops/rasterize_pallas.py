@@ -113,205 +113,204 @@ def _f(payload_ref, j, f: int):
     return payload_ref[0, j, f]
 
 
-def _fwd_kernel(counts_ref, bg_ref, payload_ref, col_ref, invd_ref, t_ref, am_ref):
-    fdt = payload_ref.dtype
-    n = _count(counts_ref)
-    px, py = _pixel_grids(fdt)
-    zero = jnp.zeros((TILE_H, TILE_W), fdt)
+def _channel_fields(geo: bool, invd: bool):
+    """Accumulated payload channels: color always; invdepth/allmap optional."""
+    chans = [F_COL]
+    if invd:
+        chans.append(F_INVD)
+    if geo:
+        chans.extend(F_AM0 + i for i in range(4))
+    return chans
 
-    def blend(j, st):
-        # act is carried as f32 (Mosaic cannot carry i1 vectors in loops)
-        T, act, C, D, A0, A1, A2, A3 = st
-        act_b = act > 0.5
-        dx = _f(payload_ref, j, F_MX) - px
-        dy = _f(payload_ref, j, F_MY) - py
-        ca = _f(payload_ref, j, F_CA)
-        cb = _f(payload_ref, j, F_CB)
-        cc = _f(payload_ref, j, F_CC)
-        inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
-            jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+
+@functools.lru_cache(maxsize=None)
+def _make_fwd_kernel(geo: bool, invd: bool):
+    chans = _channel_fields(geo, invd)
+    nch = len(chans)
+
+    def kernel(counts_ref, bg_ref, payload_ref, col_ref, invd_ref, t_ref, am_ref):
+        fdt = payload_ref.dtype
+        n = _count(counts_ref)
+        px, py = _pixel_grids(fdt)
+        zero = jnp.zeros((TILE_H, TILE_W), fdt)
+
+        def blend(j, st):
+            # act is carried as f32 (Mosaic cannot carry i1 vectors in loops)
+            T, act, accs = st
+            act_b = act > 0.5
+            dx = _f(payload_ref, j, F_MX) - px
+            dy = _f(payload_ref, j, F_MY) - py
+            ca = _f(payload_ref, j, F_CA)
+            cb = _f(payload_ref, j, F_CB)
+            cc = _f(payload_ref, j, F_CC)
+            inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
+                jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+            )
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(
+                ALPHA_MAX, _f(payload_ref, j, F_OPA) * jnp.exp(power)
+            )
+            cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
+            test_T = jnp.where(cand, T * (1.0 - alpha), T)
+            newly_done = cand & (test_T < T_EPS)
+            contrib = cand & (~newly_done) & act_b
+            w = jnp.where(contrib, alpha * T, zero)
+            accs = tuple(
+                acc + _f(payload_ref, j, f) * w for acc, f in zip(accs, chans)
+            )
+            T = jnp.where(contrib, test_T, T)
+            act = jnp.where(newly_done, zero, act)
+            return (T, act, accs)
+
+        def group_cond(st):
+            g, state = st
+            return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
+
+        def group_body(st):
+            g, state = st
+            for i in range(_CHUNK):
+                state = blend(g * _CHUNK + i, state)
+            return (g + 1, state)
+
+        init = (zero + 1.0, zero + 1.0, (zero,) * nch)
+        _, (T, _, accs) = jax.lax.while_loop(
+            group_cond, group_body, (jnp.int32(0), init)
         )
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, _f(payload_ref, j, F_OPA) * jnp.exp(power))
-        cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
-        test_T = jnp.where(cand, T * (1.0 - alpha), T)
-        newly_done = cand & (test_T < T_EPS)
-        contrib = cand & (~newly_done) & act_b
-        w = jnp.where(contrib, alpha * T, zero)
-        C = C + _f(payload_ref, j, F_COL) * w
-        D = D + _f(payload_ref, j, F_INVD) * w
-        A0 = A0 + _f(payload_ref, j, F_AM0) * w
-        A1 = A1 + _f(payload_ref, j, F_AM0 + 1) * w
-        A2 = A2 + _f(payload_ref, j, F_AM0 + 2) * w
-        A3 = A3 + _f(payload_ref, j, F_AM0 + 3) * w
-        T = jnp.where(contrib, test_T, T)
-        act = jnp.where(newly_done, zero, act)
-        return (T, act, C, D, A0, A1, A2, A3)
+        by_field = dict(zip(chans, accs))
+        col_ref[:, :] = by_field[F_COL] + T * bg_ref[0]
+        invd_ref[:, :] = by_field.get(F_INVD, zero)
+        t_ref[:, :] = T
+        for i in range(4):
+            am_ref[i, :, :] = by_field.get(F_AM0 + i, zero)
 
-    def group_cond(st):
-        g, state = st
-        return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
-
-    def group_body(st):
-        g, state = st
-        for i in range(_CHUNK):
-            state = blend(g * _CHUNK + i, state)
-        return (g + 1, state)
-
-    init = (zero + 1.0, zero + 1.0, zero, zero, zero, zero, zero, zero)
-    _, (T, _, C, D, A0, A1, A2, A3) = jax.lax.while_loop(
-        group_cond, group_body, (jnp.int32(0), init)
-    )
-    col_ref[:, :] = C + T * bg_ref[0]
-    invd_ref[:, :] = D
-    t_ref[:, :] = T
-    am_ref[0, :, :] = A0
-    am_ref[1, :, :] = A1
-    am_ref[2, :, :] = A2
-    am_ref[3, :, :] = A3
+    return kernel
 
 
-def _bwd_kernel(
-    counts_ref,
-    bg_ref,
-    payload_ref,
-    outc_ref,
-    outd_ref,
-    outt_ref,
-    outam_ref,
-    gc_ref,
-    gd_ref,
-    gt_ref,
-    gam_ref,
-    dpay_ref,
-):
-    fdt = payload_ref.dtype
-    n = _count(counts_ref)
-    px, py = _pixel_grids(fdt)
-    zero = jnp.zeros((TILE_H, TILE_W), fdt)
-    dpay_ref[...] = jnp.zeros(dpay_ref.shape, fdt)
+@functools.lru_cache(maxsize=None)
+def _make_bwd_kernel(geo: bool, invd: bool):
+    chans = _channel_fields(geo, invd)
 
-    outc = outc_ref[:, :]
-    outd = outd_ref[:, :]
-    outt = outt_ref[:, :]
-    gc = gc_ref[:, :]
-    gd = gd_ref[:, :]
-    gt = gt_ref[:, :]
-    ga0 = gam_ref[0, :, :]
-    ga1 = gam_ref[1, :, :]
-    ga2 = gam_ref[2, :, :]
-    ga3 = gam_ref[3, :, :]
-    oa0 = outam_ref[0, :, :]
-    oa1 = outam_ref[1, :, :]
-    oa2 = outam_ref[2, :, :]
-    oa3 = outam_ref[3, :, :]
+    def kernel(
+        counts_ref,
+        bg_ref,
+        payload_ref,
+        outc_ref,
+        outd_ref,
+        outt_ref,
+        outam_ref,
+        gc_ref,
+        gd_ref,
+        gt_ref,
+        gam_ref,
+        dpay_ref,
+    ):
+        fdt = payload_ref.dtype
+        n = _count(counts_ref)
+        px, py = _pixel_grids(fdt)
+        zero = jnp.zeros((TILE_H, TILE_W), fdt)
+        dpay_ref[...] = jnp.zeros(dpay_ref.shape, fdt)
 
-    # in-kernel constant one-hot masks (captured jnp constants are rejected
-    # by pallas_call; iota comparisons fold to constants at compile time)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
-    zrow = jnp.zeros((_CHUNK, NF), fdt)
+        outt = outt_ref[:, :]
+        gt = gt_ref[:, :]
+        # per-channel (upstream grad, final output) keyed by payload field
+        gch = {F_COL: gc_ref[:, :]}
+        och = {F_COL: outc_ref[:, :]}
+        if invd:
+            gch[F_INVD] = gd_ref[:, :]
+            och[F_INVD] = outd_ref[:, :]
+        if geo:
+            for i in range(4):
+                gch[F_AM0 + i] = gam_ref[i, :, :]
+                och[F_AM0 + i] = outam_ref[i, :, :]
 
-    def onehot_put(rows, i: int, f: int, v):
-        mask = (sub_iota == i) & (lane_iota == f)
-        return rows + jnp.where(mask, v, zrow)
+        # in-kernel constant one-hot masks (captured jnp constants are
+        # rejected by pallas_call; iota comparisons fold at compile time)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
+        zrow = jnp.zeros((_CHUNK, NF), fdt)
 
-    def blend(j, i, st):
-        T, act, Ac, Ad, A0, A1, A2, A3, rows = st
-        act_b = act > 0.5
-        mxv = _f(payload_ref, j, F_MX)
-        myv = _f(payload_ref, j, F_MY)
-        ca = _f(payload_ref, j, F_CA)
-        cb = _f(payload_ref, j, F_CB)
-        cc = _f(payload_ref, j, F_CC)
-        opa = _f(payload_ref, j, F_OPA)
-        col = _f(payload_ref, j, F_COL)
-        ivd = _f(payload_ref, j, F_INVD)
-        am0 = _f(payload_ref, j, F_AM0)
-        am1 = _f(payload_ref, j, F_AM0 + 1)
-        am2 = _f(payload_ref, j, F_AM0 + 2)
-        am3 = _f(payload_ref, j, F_AM0 + 3)
-        dx = mxv - px
-        dy = myv - py
-        inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
-            jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+        def onehot_put(rows, i: int, f: int, v):
+            mask = (sub_iota == i) & (lane_iota == f)
+            return rows + jnp.where(mask, v, zrow)
+
+        def blend(j, i, st):
+            T, act, prefixes, rows = st
+            act_b = act > 0.5
+            mxv = _f(payload_ref, j, F_MX)
+            myv = _f(payload_ref, j, F_MY)
+            ca = _f(payload_ref, j, F_CA)
+            cb = _f(payload_ref, j, F_CB)
+            cc = _f(payload_ref, j, F_CC)
+            opa = _f(payload_ref, j, F_OPA)
+            chvals = {f: _f(payload_ref, j, f) for f in chans}
+            dx = mxv - px
+            dy = myv - py
+            inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
+                jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+            )
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            G = jnp.exp(power)
+            alpha_u = opa * G
+            alpha = jnp.minimum(ALPHA_MAX, alpha_u)
+            cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
+            test_T = jnp.where(cand, T * (1.0 - alpha), T)
+            newly_done = cand & (test_T < T_EPS)
+            contrib = cand & (~newly_done) & act_b
+            w = jnp.where(contrib, alpha * T, zero)
+
+            prefixes = tuple(
+                A + chvals[f] * w for A, f in zip(prefixes, chans)
+            )
+            by_field = dict(zip(chans, prefixes))
+
+            inv1a = 1.0 / (1.0 - alpha)
+            g_alpha = gt * (-outt * inv1a)
+            for f in chans:
+                g_alpha += gch[f] * (
+                    chvals[f] * T - (och[f] - by_field[f]) * inv1a
+                )
+            g_alpha = jnp.where(contrib, g_alpha, zero)
+
+            d_power = g_alpha * alpha_u
+            vals = [
+                (F_MX, jnp.sum(d_power * (-ca * dx - cb * dy))),
+                (F_MY, jnp.sum(d_power * (-cc * dy - cb * dx))),
+                (F_CA, jnp.sum(d_power * (-0.5 * dx * dx))),
+                (F_CB, jnp.sum(d_power * (-dx * dy))),
+                (F_CC, jnp.sum(d_power * (-0.5 * dy * dy))),
+                (F_OPA, jnp.sum(g_alpha * G)),
+            ] + [(f, jnp.sum(gch[f] * w)) for f in chans]
+            # place the scalar grads at (row i, field f) via constant
+            # one-hots — Mosaic has no scalar VMEM stores
+            for f, v in vals:
+                rows = onehot_put(rows, i, f, v)
+
+            T = jnp.where(contrib, test_T, T)
+            act = jnp.where(newly_done, zero, act)
+            return (T, act, prefixes, rows)
+
+        def group_cond(st):
+            g, state = st
+            return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
+
+        def group_body(st):
+            g, state = st
+            state = state[:-1] + (jnp.zeros((_CHUNK, NF), fdt),)
+            for i in range(_CHUNK):
+                state = blend(g * _CHUNK + i, i, state)
+            off = pl.multiple_of(g * _CHUNK, _CHUNK)
+            dpay_ref[0, pl.ds(off, _CHUNK), :] = state[-1]
+            return (g + 1, state)
+
+        init = (
+            zero + 1.0,
+            zero + 1.0,
+            (zero,) * len(chans),
+            jnp.zeros((_CHUNK, NF), fdt),
         )
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        G = jnp.exp(power)
-        alpha_u = opa * G
-        alpha = jnp.minimum(ALPHA_MAX, alpha_u)
-        cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
-        test_T = jnp.where(cand, T * (1.0 - alpha), T)
-        newly_done = cand & (test_T < T_EPS)
-        contrib = cand & (~newly_done) & act_b
-        w = jnp.where(contrib, alpha * T, zero)
+        jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
 
-        Ac = Ac + col * w
-        Ad = Ad + ivd * w
-        A0 = A0 + am0 * w
-        A1 = A1 + am1 * w
-        A2 = A2 + am2 * w
-        A3 = A3 + am3 * w
-
-        inv1a = 1.0 / (1.0 - alpha)
-        g_alpha = gc * (col * T - (outc - Ac) * inv1a)
-        g_alpha += gd * (ivd * T - (outd - Ad) * inv1a)
-        g_alpha += ga0 * (am0 * T - (oa0 - A0) * inv1a)
-        g_alpha += ga1 * (am1 * T - (oa1 - A1) * inv1a)
-        g_alpha += ga2 * (am2 * T - (oa2 - A2) * inv1a)
-        g_alpha += ga3 * (am3 * T - (oa3 - A3) * inv1a)
-        g_alpha += gt * (-outt * inv1a)
-        g_alpha = jnp.where(contrib, g_alpha, zero)
-
-        d_power = g_alpha * alpha_u
-        vals = (
-            (F_MX, jnp.sum(d_power * (-ca * dx - cb * dy))),
-            (F_MY, jnp.sum(d_power * (-cc * dy - cb * dx))),
-            (F_CA, jnp.sum(d_power * (-0.5 * dx * dx))),
-            (F_CB, jnp.sum(d_power * (-dx * dy))),
-            (F_CC, jnp.sum(d_power * (-0.5 * dy * dy))),
-            (F_OPA, jnp.sum(g_alpha * G)),
-            (F_COL, jnp.sum(gc * w)),
-            (F_INVD, jnp.sum(gd * w)),
-            (F_AM0, jnp.sum(ga0 * w)),
-            (F_AM0 + 1, jnp.sum(ga1 * w)),
-            (F_AM0 + 2, jnp.sum(ga2 * w)),
-            (F_AM0 + 3, jnp.sum(ga3 * w)),
-        )
-        # place the scalar grads at (row i, field f) via constant one-hots —
-        # Mosaic has no scalar VMEM stores or (1,1)->tile broadcasts
-        for f, v in vals:
-            rows = onehot_put(rows, i, f, v)
-
-        T = jnp.where(contrib, test_T, T)
-        act = jnp.where(newly_done, zero, act)
-        return (T, act, Ac, Ad, A0, A1, A2, A3, rows)
-
-    def group_cond(st):
-        g, state = st
-        return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
-
-    def group_body(st):
-        g, state = st
-        state = state[:-1] + (jnp.zeros((_CHUNK, NF), fdt),)
-        for i in range(_CHUNK):
-            state = blend(g * _CHUNK + i, i, state)
-        off = pl.multiple_of(g * _CHUNK, _CHUNK)
-        dpay_ref[0, pl.ds(off, _CHUNK), :] = state[-1]
-        return (g + 1, state)
-
-    init = (
-        zero + 1.0,
-        zero + 1.0,
-        zero,
-        zero,
-        zero,
-        zero,
-        zero,
-        zero,
-        jnp.zeros((_CHUNK, NF), fdt),
-    )
-    jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
+    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -319,18 +318,23 @@ def _bwd_kernel(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def tile_blend(payload, counts, nty: int, ntx: int, bg=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def tile_blend(payload, counts, nty: int, ntx: int,
+               geo: bool = True, invd: bool = True, bg=None):
     """Blend per-tile instance tables into padded images.
 
     payload: [T, K, NF]; counts: [T] int32; bg: [1] background (color chan).
+    geo/invd gate the allmap / inverse-depth channels: the training loss
+    only consumes the color channel, so gating them off removes ~40% of the
+    per-instance kernel work (gated outputs return zeros).
     Returns (color [Hp,Wp], invdepth [Hp,Wp], final_T [Hp,Wp], allmap [4,Hp,Wp]).
     """
-    out, _ = _tile_blend_fwd(payload, counts, nty, ntx, bg)
+    out, _ = _tile_blend_fwd(payload, counts, nty, ntx, geo, invd, bg)
     return out
 
 
-def _tile_blend_fwd(payload, counts, nty: int, ntx: int, bg):
+def _tile_blend_fwd(payload, counts, nty: int, ntx: int,
+                    geo: bool = True, invd: bool = True, bg=None):
     K = payload.shape[1]
     Hp, Wp = nty * TILE_H, ntx * TILE_W
     dt = payload.dtype
@@ -347,8 +351,8 @@ def _tile_blend_fwd(payload, counts, nty: int, ntx: int, bg):
             pl.BlockSpec((4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j)),
         ],
     )
-    col, invd, finT, am = pl.pallas_call(
-        _fwd_kernel,
+    col, invd_img, finT, am = pl.pallas_call(
+        _make_fwd_kernel(geo, invd),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Hp, Wp), dt),
@@ -358,13 +362,13 @@ def _tile_blend_fwd(payload, counts, nty: int, ntx: int, bg):
         ],
         interpret=_interpret(),
     )(counts, bg, payload)
-    out = (col, invd, finT, am)
+    out = (col, invd_img, finT, am)
     return out, (payload, counts, bg, out)
 
 
-def _tile_blend_bwd(nty: int, ntx: int, res, g):
+def _tile_blend_bwd(nty: int, ntx: int, geo: bool, invd: bool, res, g):
     payload, counts, bg, out = res
-    col, invd, finT, am = out
+    col, invd_img, finT, am = out
     gc, gd, gtt, gam = g
     K = payload.shape[1]
     dt = payload.dtype
@@ -392,11 +396,11 @@ def _tile_blend_bwd(nty: int, ntx: int, res, g):
         ],
     )
     (dpay,) = pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(geo, invd),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((T, K, NF), dt)],
         interpret=_interpret(),
-    )(counts, bg, payload, col, invd, finT, am, gc, gd, gtt, gam)
+    )(counts, bg, payload, col, invd_img, finT, am, gc, gd, gtt, gam)
     dbg = jnp.sum(gc * finT, dtype=dt).reshape(bg.shape)
     return (dpay, None, dbg)
 

@@ -62,6 +62,7 @@ def render(
     scale_modifier: float = 1.0,
     antialiasing: bool = False,
     render_geo: bool = True,
+    compute_invdepth: bool = True,
     capacity: int = 1024,
     backend: str = "pallas",  # or "reference"
     exposure: Optional[jnp.ndarray] = None,  # [2] (scale, offset)
@@ -83,7 +84,10 @@ def render(
         pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
     if color is None:
         color = jnp.ones_like(opacity)
-    allmap = main_axis_allmap(xyz, quat, cam)
+    if render_geo:
+        allmap = main_axis_allmap(xyz, quat, cam)
+    else:
+        allmap = jnp.zeros((xyz.shape[0], 4), pre.mean2d.dtype)
     bg_arr = jnp.asarray(bg, pre.mean2d.dtype).reshape(1)
 
     if backend == "reference":
@@ -102,7 +106,8 @@ def render(
         payload = build_payload(pre, color, allmap, binning)
         nty, ntx = tile_grid(H, W)
         img_p, invd_p, finT_p, am_p = tile_blend(
-            payload, binning.counts, nty, ntx, bg_arr
+            payload, binning.counts, nty, ntx,
+            render_geo, compute_invdepth, bg_arr,
         )
         img, invd, finT = img_p[:H, :W], invd_p[:H, :W], finT_p[:H, :W]
         am = am_p[:, :H, :W]

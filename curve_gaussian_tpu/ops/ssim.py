@@ -26,21 +26,24 @@ def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Separable 'same' convolution over the last two axes of [..., H, W]."""
+    """Separable 'same' convolution over the last two axes of [..., H, W].
+
+    Implemented as shift-and-add (k slice-adds per axis): single-channel
+    batch-1 convolutions lower poorly on the TPU conv path (MXU sits idle),
+    while padded slice-adds are pure fully-vectorized VPU work that XLA
+    fuses into a handful of passes."""
     k = win.shape[0]
     pad = k // 2
-    lead = img.shape[:-2]
-    x = img.reshape((-1, 1) + img.shape[-2:])
-    kern_h = win.reshape(1, 1, k, 1)
-    kern_w = win.reshape(1, 1, 1, k)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, kern_h, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kern_w, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn
-    )
-    return x.reshape(lead + img.shape[-2:])
+    h, w = img.shape[-2], img.shape[-1]
+    xp = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(pad, pad), (0, 0)])
+    out = jnp.zeros_like(img)
+    for i in range(k):
+        out = out + win[i] * jax.lax.slice_in_dim(xp, i, i + h, axis=-2)
+    xp = jnp.pad(out, [(0, 0)] * (img.ndim - 2) + [(0, 0), (pad, pad)])
+    out = jnp.zeros_like(img)
+    for i in range(k):
+        out = out + win[i] * jax.lax.slice_in_dim(xp, i, i + w, axis=-1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("window_size",))

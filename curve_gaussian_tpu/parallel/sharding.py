@@ -300,7 +300,7 @@ def tile_parallel_render(
         )
         payload = build_payload(local_pre, color, allmap, binning)
         nty, ntx = tile_grid(rows_per_dev, W)
-        img, _, _, _ = tile_blend(payload, binning.counts, nty, ntx, bg_arr)
+        img, _, _, _ = tile_blend(payload, binning.counts, nty, ntx, True, True, bg_arr)
         return img[None, :rows_per_dev, :W]
 
     row_offsets = jnp.arange(n_dev, dtype=jnp.int32) * rows_per_dev
