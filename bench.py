@@ -24,6 +24,12 @@ BASELINE_MPIX_S = 100.0
 
 def main():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 

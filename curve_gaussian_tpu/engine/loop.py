@@ -120,6 +120,7 @@ def train_scene(
     bg = jnp.asarray(bg_val, jnp.float32)
 
     logger = JsonlLogger(model_path, quiet=quiet)
+    save_scene_artifacts(cameras, seed_points, model_path)
     # device-resident stacks; per-chunk views are gathered on device
     gt_all = jnp.stack([jnp.asarray(e) for e in edge_maps])
     w2c_all = jnp.stack([c.world_to_cam for c in cameras])
@@ -247,6 +248,36 @@ def train_scene(
     )
 
 
+def save_scene_artifacts(cameras, seed_points, model_path: str):
+    """input.ply + cameras.json (reference scene/__init__.py:60-72,
+    utils/camera_utils.py:78-98)."""
+    from ..data.ply import write_ply
+    from ..ops.camera import fov2focal
+
+    os.makedirs(model_path, exist_ok=True)
+    write_ply(
+        os.path.join(model_path, "input.ply"), np.asarray(seed_points)
+    )
+    entries = []
+    for i, cam in enumerate(cameras):
+        w2c = np.asarray(cam.world_to_cam, np.float64)
+        c2w = np.linalg.inv(w2c)
+        entries.append(
+            {
+                "id": i,
+                "img_name": f"{i:05d}",
+                "width": cam.width,
+                "height": cam.height,
+                "position": c2w[:3, 3].tolist(),
+                "rotation": [r.tolist() for r in c2w[:3, :3]],
+                "fx": cam.width / (2.0 * cam.tanfovx),
+                "fy": cam.height / (2.0 * cam.tanfovy),
+            }
+        )
+    with open(os.path.join(model_path, "cameras.json"), "w") as f:
+        json.dump(entries, f)
+
+
 def save_model_artifacts(ts: TrainState, model_path: str, iteration: int):
     """Curve point-cloud + per-Gaussian cloud snapshots (the reference's
     draw_curve / save_ply, gaussian_curve_model.py:712-727)."""
@@ -278,3 +309,19 @@ def save_model_artifacts(ts: TrainState, model_path: str, iteration: int):
         np.asarray(g["xyz"]),
         normals=np.asarray(g["tangent"]),
     )
+    # 3DGS-format cloud for viewer interop (reference save_ply,
+    # gaussian_model.py:383-400) + per-view exposure (scene/__init__.py:94-103)
+    from ..models.gaussian_ply import save_gaussian_ply
+
+    save_gaussian_ply(
+        os.path.join(out_dir, "point_cloud.ply"),
+        np.asarray(g["xyz"]),
+        np.asarray(g["opacity"]),
+        np.asarray(g["scale"]),
+        np.asarray(g["quat"]),
+    )
+    exposure = np.asarray(ts.params["exposure"])
+    with open(os.path.join(model_path, "exposure.json"), "w") as f:
+        json.dump(
+            {str(i): exposure[i].tolist() for i in range(len(exposure))}, f
+        )

@@ -55,6 +55,12 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 
     import numpy as np
 
