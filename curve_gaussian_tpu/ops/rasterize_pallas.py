@@ -223,18 +223,35 @@ def _make_bwd_kernel(geo: bool, invd: bool):
                 gch[F_AM0 + i] = gam_ref[i, :, :]
                 och[F_AM0 + i] = outam_ref[i, :, :]
 
-        # in-kernel constant one-hot masks (captured jnp constants are
-        # rejected by pallas_call; iota comparisons fold at compile time)
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 0)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
-        zrow = jnp.zeros((_CHUNK, NF), fdt)
+        # gradient accumulation strategy: the 6+nch per-instance gradients
+        # are reductions over the (8,128) pixel tile.  Full reductions per
+        # instance are the backward's hot cost, so they are DEFERRED: per
+        # instance only the sublanes are reduced ((8,128)->(1,128), cheap)
+        # and parked in the instance's row of a per-gradient group buffer;
+        # after each 8-instance group ONE lane reduction per gradient
+        # finishes all 8 instances at once.  (Mosaic has no scalar VMEM
+        # stores / both-dim broadcasts, hence the iota-mask row selects.)
+        NG = 6 + len(chans)  # mx,my,ca,cb,cc,opa + channel grads
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, TILE_W), 0)
+        zbuf = jnp.zeros((_CHUNK, TILE_W), fdt)
 
-        def onehot_put(rows, i: int, f: int, v):
-            mask = (sub_iota == i) & (lane_iota == f)
-            return rows + jnp.where(mask, v, zrow)
+        def park(buf, i: int, v):
+            partial = jnp.sum(v, axis=0, keepdims=True)  # (1, TILE_W)
+            return jnp.where(sub8 == i, partial, buf)
+
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
+        zrow = jnp.zeros((_CHUNK, NF), fdt)
+        grad_fields = [F_MX, F_MY, F_CA, F_CB, F_CC, F_OPA] + chans
+
+        def finish_group(bufs):
+            rows = zrow
+            for f, buf in zip(grad_fields, bufs):
+                col = jnp.sum(buf, axis=1, keepdims=True)  # (CHUNK, 1)
+                rows = rows + jnp.where(lane16 == f, col, zrow)
+            return rows
 
         def blend(j, i, st):
-            T, act, prefixes, rows = st
+            T, act, prefixes, bufs = st
             act_b = act > 0.5
             mxv = _f(payload_ref, j, F_MX)
             myv = _f(payload_ref, j, F_MY)
@@ -273,21 +290,18 @@ def _make_bwd_kernel(geo: bool, invd: bool):
 
             d_power = g_alpha * alpha_u
             vals = [
-                (F_MX, jnp.sum(d_power * (-ca * dx - cb * dy))),
-                (F_MY, jnp.sum(d_power * (-cc * dy - cb * dx))),
-                (F_CA, jnp.sum(d_power * (-0.5 * dx * dx))),
-                (F_CB, jnp.sum(d_power * (-dx * dy))),
-                (F_CC, jnp.sum(d_power * (-0.5 * dy * dy))),
-                (F_OPA, jnp.sum(g_alpha * G)),
-            ] + [(f, jnp.sum(gch[f] * w)) for f in chans]
-            # place the scalar grads at (row i, field f) via constant
-            # one-hots — Mosaic has no scalar VMEM stores
-            for f, v in vals:
-                rows = onehot_put(rows, i, f, v)
+                d_power * (-ca * dx - cb * dy),
+                d_power * (-cc * dy - cb * dx),
+                d_power * (-0.5 * dx * dx),
+                d_power * (-dx * dy),
+                d_power * (-0.5 * dy * dy),
+                g_alpha * G,
+            ] + [gch[f] * w for f in chans]
+            bufs = tuple(park(buf, i, v) for buf, v in zip(bufs, vals))
 
             T = jnp.where(contrib, test_T, T)
             act = jnp.where(newly_done, zero, act)
-            return (T, act, prefixes, rows)
+            return (T, act, prefixes, bufs)
 
         def group_cond(st):
             g, state = st
@@ -295,18 +309,18 @@ def _make_bwd_kernel(geo: bool, invd: bool):
 
         def group_body(st):
             g, state = st
-            state = state[:-1] + (jnp.zeros((_CHUNK, NF), fdt),)
+            state = state[:-1] + ((zbuf,) * NG,)
             for i in range(_CHUNK):
                 state = blend(g * _CHUNK + i, i, state)
             off = pl.multiple_of(g * _CHUNK, _CHUNK)
-            dpay_ref[0, pl.ds(off, _CHUNK), :] = state[-1]
+            dpay_ref[0, pl.ds(off, _CHUNK), :] = finish_group(state[-1])
             return (g + 1, state)
 
         init = (
             zero + 1.0,
             zero + 1.0,
             (zero,) * len(chans),
-            jnp.zeros((_CHUNK, NF), fdt),
+            (zbuf,) * NG,
         )
         jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
 
