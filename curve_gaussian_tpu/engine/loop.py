@@ -135,11 +135,11 @@ def train_scene(
     view_stack: List[int] = []
     t_start = time.time()
 
-    # host-event boundaries: surgery cadence is multiples of 500 (densify
-    # interval, the 1000/500-offset schedule), plus explicit iteration sets
+    # host-event boundaries: every iteration where surgery fires, plus the
+    # explicit test/save/checkpoint sets and the use_mask flip
     events = set()
     for i in range(first_iter + 1, opt_cfg.iterations + 1):
-        if i % 500 == 0 or i == opt_cfg.densify_until_iter:
+        if surgery.schedule_fires(i, opt_cfg) or i == opt_cfg.densify_until_iter:
             events.add(i)
     events.update(t for t in test_iterations)
     events.update(t for t in save_iterations)

@@ -511,6 +511,28 @@ def fix_opacity_host(host: HostCurves, floor: float = 0.6) -> HostCurves:
 # ---------------------------------------------------------------------------
 
 
+def schedule_fires(iteration: int, opt: OptimizationConfig) -> bool:
+    """True when apply_schedule would do any work at `iteration` — the
+    training loop must place a chunk boundary at every such iteration."""
+    if iteration < opt.densify_until_iter:
+        if (
+            iteration > opt.densify_from_iter
+            and iteration % opt.densification_interval == 0
+        ):
+            return True
+    if iteration == opt.densify_until_iter:
+        return True
+    if iteration % 1000 == 500 and iteration > opt.densify_until_iter:
+        return True
+    if iteration % 1000 == 0 and iteration > 3000 and iteration != opt.iterations:
+        return True
+    if (
+        iteration % 1000 == 0 and iteration > opt.densify_until_iter
+    ) or iteration == opt.iterations:
+        return True
+    return False
+
+
 def apply_schedule(
     ts: TrainState, iteration: int, opt: OptimizationConfig
 ) -> TrainState:
