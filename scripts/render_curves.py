@@ -7,6 +7,10 @@ each view — but by actually SPLATTING the fitted curves with the TPU
 renderer rather than matplotlib scatter plots.  Frames land in
 <out>/frames/; stitched to mp4 when ffmpeg exists.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import math

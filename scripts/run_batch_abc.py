@@ -5,6 +5,10 @@ Reference scripts/run_batch_ABC.py semantics: one subprocess per scan,
 skipping scans whose parametric_edges.json already exists (that file IS the
 recovery story — re-running the batch resumes where it stopped).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import os
 import subprocess

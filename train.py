@@ -49,12 +49,16 @@ def main():
     p.add_argument("--grid-init", type=int, default=15,
                    help="seed grid resolution per axis (reference: 15)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--detect-anomaly", action="store_true",
+                   help="enable jax_debug_nans (reference --detect_anomaly)")
     args = p.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
