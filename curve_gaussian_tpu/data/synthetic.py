@@ -99,6 +99,7 @@ def make_scene(
     samples_per_curve: int = 48,
     backend: str = "pallas",
     capacity: int = 512,
+    noise: float = 0.0,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     cp, is_bez = random_curves(rng, n_curves, n_lines)
@@ -120,7 +121,13 @@ def make_scene(
             xyz, scale, quat, opa, cam, bg=0.0, capacity=capacity,
             backend=backend,
         )
-        edge_maps.append(np.asarray(out["render"]))
+        img = np.asarray(out["render"])
+        if noise > 0:
+            # detector-like corruption: additive speckle + response jitter
+            img = img * rng.uniform(1 - noise, 1 + noise, img.shape)
+            img = img + noise * 0.3 * (rng.uniform(size=img.shape) < 0.02)
+            img = np.clip(img, 0.0, 1.0).astype(np.float32)
+        edge_maps.append(img)
     return SyntheticScene(
         curves=cp, is_bezier=is_bez, cameras=cams, edge_maps=edge_maps
     )

@@ -46,6 +46,7 @@ def main():
     p.add_argument("--synthetic-lines", type=int, default=3)
     p.add_argument("--synthetic-views", type=int, default=24)
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--synthetic-noise", type=float, default=0.0)
     p.add_argument("--grid-init", type=int, default=15,
                    help="seed grid resolution per axis (reference: 15)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -123,6 +124,7 @@ def main():
             height=args.image_size,
             width=args.image_size,
             backend=args.backend,
+            noise=args.synthetic_noise,
         )
         cameras, edge_maps = scene.cameras, scene.edge_maps
         seed_points = synthetic.grid_seed_points(args.grid_init)
