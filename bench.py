@@ -33,8 +33,6 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    import dataclasses
-
     from curve_gaussian_tpu.config import OptimizationConfig, PipelineConfig
     from curve_gaussian_tpu.data import synthetic
     from curve_gaussian_tpu.engine import train as T

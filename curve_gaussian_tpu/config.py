@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 from argparse import ArgumentParser
-from typing import List, Optional
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

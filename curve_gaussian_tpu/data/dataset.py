@@ -13,9 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import math
 import os
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

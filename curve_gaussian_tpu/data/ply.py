@@ -6,8 +6,7 @@ storePly semantics, train.py edge_points.ply export).
 """
 from __future__ import annotations
 
-import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import random
 import time
 from typing import Dict, List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,7 +29,6 @@ from .train import (
     TrainState,
     eval_render,
     init_train_state,
-    train_step,
     train_steps_scan,
 )
 
@@ -252,7 +250,6 @@ def save_scene_artifacts(cameras, seed_points, model_path: str):
     """input.ply + cameras.json (reference scene/__init__.py:60-72,
     utils/camera_utils.py:78-98)."""
     from ..data.ply import write_ply
-    from ..ops.camera import fov2focal
 
     os.makedirs(model_path, exist_ok=True)
     write_ply(

@@ -7,10 +7,9 @@ applied to predictions before matching (eval_utils.py:500-538).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
-from scipy.spatial import cKDTree
 
 from ..native import nn1
 

@@ -58,8 +58,6 @@ def save_gaussian_ply(
 
 
 def load_gaussian_ply(path: str) -> Dict[str, np.ndarray]:
-    from ..data.ply import read_ply
-
     with open(path, "rb") as f:
         data = f.read()
     header_end = data.index(b"end_header\n") + len(b"end_header\n")

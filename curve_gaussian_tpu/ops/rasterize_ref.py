@@ -23,8 +23,6 @@ reference CUDA kernel (cuda_rasterizer/forward.cu:279-417):
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

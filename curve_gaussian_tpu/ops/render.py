@@ -26,10 +26,9 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
-from .binning import TILE_H, TILE_W, bin_gaussians, tile_grid
+from .binning import bin_gaussians, tile_grid
 from .camera import Camera
 from .projection import preprocess
 from .quaternion import quat_to_rotmat

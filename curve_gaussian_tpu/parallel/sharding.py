@@ -22,12 +22,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import functools as _ft
 
 from jax import shard_map as _shard_map
 

@@ -13,9 +13,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
-import math
-import os
-import sys
 
 
 def main():
@@ -40,7 +37,7 @@ def main():
 
     from curve_gaussian_tpu.data.synthetic import ring_cameras
     from curve_gaussian_tpu.ops import bezier
-    from curve_gaussian_tpu.ops.camera import focal2fov, make_camera
+    from curve_gaussian_tpu.ops.camera import make_camera
     from curve_gaussian_tpu.ops.render import render
     from curve_gaussian_tpu.eval.replica import stitch_video
 

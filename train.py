@@ -12,10 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import math
 import os
-import sys
-import time
 
 
 def main():
@@ -67,11 +64,8 @@ def main():
         pass
 
 
-    import numpy as np
-
     from curve_gaussian_tpu.config import (
         ModelConfig,
-        OptimizationConfig,
         PipelineConfig,
         PRESETS,
     )
