@@ -25,9 +25,10 @@ are read as SCALARS from the VMEM payload block — `ref[0, j, f]` with a
 dynamic sublane index and static lane index lowers to a scalar load + splat
 and measured ~4x faster than slab loads with static extraction.  (1,1)->
 (8,128) vector broadcasts and scalar VMEM stores are NOT implemented in
-Mosaic, so the backward assembles each 8-instance gradient slab in vector
-registers via constant-one-hot accumulation and stores it with an 8-aligned
-dynamic sublane slice."""
+Mosaic, so the backward keeps its per-instance gradients in vector
+registers: sublane-reduced partials are parked per instance, one lane
+reduction per gradient finishes each 8-instance group, and the assembled
+(8, NF) slab is stored with an 8-aligned dynamic sublane slice."""
 from __future__ import annotations
 
 import functools
