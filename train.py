@@ -47,6 +47,11 @@ def main():
     p.add_argument("--grid-init", type=int, default=15,
                    help="seed grid resolution per axis (reference: 15)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    # every OptimizationConfig hyperparameter as --opt-<name> (the
+    # reference's reflection-based ParamGroup flags, arguments/__init__.py)
+    from curve_gaussian_tpu.config import OptimizationConfig, add_dataclass_args
+
+    add_dataclass_args(p, OptimizationConfig, prefix="opt_")
     p.add_argument("--detect-anomaly", action="store_true",
                    help="enable jax_debug_nans (reference --detect_anomaly)")
     args = p.parse_args()
@@ -78,6 +83,9 @@ def main():
             "pidinet" if "ABC" in sp and args.detector == "PidiNet" else "default"
         )
     opt_cfg = PRESETS[preset]()
+    from curve_gaussian_tpu.config import dataclass_from_args
+
+    opt_cfg = dataclass_from_args(args, type(opt_cfg), base=opt_cfg, prefix="opt_")
     if args.iterations is not None:
         # compress the whole surgery schedule proportionally when the user
         # shortens the run (useful for smoke tests & quick fits)
