@@ -81,6 +81,7 @@ def render(
     )
     if mean2d_offset is not None:
         pre = pre._replace(mean2d=pre.mean2d + mean2d_offset)
+    color_ones = color is None
     if color is None:
         color = jnp.ones_like(opacity)
     if render_geo:
@@ -106,7 +107,7 @@ def render(
         nty, ntx = tile_grid(H, W)
         img_p, invd_p, finT_p, am_p = tile_blend(
             payload, binning.counts, nty, ntx,
-            render_geo, compute_invdepth, bg_arr,
+            render_geo, compute_invdepth, color_ones, bg_arr,
         )
         img, invd, finT = img_p[:H, :W], invd_p[:H, :W], finT_p[:H, :W]
         am = am_p[:, :H, :W]

@@ -100,6 +100,8 @@ def _one_view_grads(
             alive=gauss["alive"],
             mean2d_offset=offset,
             antialiasing=pipe_cfg.antialiasing,
+            render_geo=False,
+            compute_invdepth=False,
             capacity=pipe_cfg.tile_capacity,
             backend=pipe_cfg.backend,
         )
@@ -299,7 +301,7 @@ def tile_parallel_render(
         )
         payload = build_payload(local_pre, color, allmap, binning)
         nty, ntx = tile_grid(rows_per_dev, W)
-        img, _, _, _ = tile_blend(payload, binning.counts, nty, ntx, True, True, bg_arr)
+        img, _, _, _ = tile_blend(payload, binning.counts, nty, ntx, True, True, True, bg_arr)
         return img[None, :rows_per_dev, :W]
 
     row_offsets = jnp.arange(n_dev, dtype=jnp.int32) * rows_per_dev
