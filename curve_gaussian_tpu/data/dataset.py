@@ -101,7 +101,7 @@ def load_emap(cfg: ModelConfig) -> LoadedScene:
         cams.append(make_camera(R, T, fovx, fovy, h, w))
         maps.append(edge)
         centers.append(c2w[:3, 3])
-    seed = grid_seed_points(15)
+    seed = _emap_seed_points(path)
     test_cams, test_maps = (cams, maps) if cfg.eval else ([], [])
     return LoadedScene(
         train_cameras=cams,
@@ -111,6 +111,25 @@ def load_emap(cfg: ModelConfig) -> LoadedScene:
         seed_points=seed,
         cameras_extent=_nerfpp_extent(np.array(centers)),
     )
+
+
+def _emap_seed_points(path: str) -> np.ndarray:
+    """EMAP seed cloud: the 15^3 grid by default; when the scene ships
+    sparse SfM points (dataset_readers.py:414-439 non-default branch) they
+    are used instead, replicated with jitter up to ~8k points if sparse."""
+    sfm = os.path.join(path, "sparse_sfm_points.txt")
+    if not os.path.exists(sfm):
+        return grid_seed_points(15)
+    xyz = np.loadtxt(sfm).reshape(-1, 3).astype(np.float32)
+    target = 8001
+    if len(xyz) < target:
+        reps = -(-(target - len(xyz)) // max(len(xyz), 1))
+        rng = np.random.default_rng(0)
+        extra = np.concatenate([xyz] * reps) + 0.1 * rng.random(
+            (reps * len(xyz), 3), dtype=np.float32
+        )
+        xyz = np.concatenate([xyz, extra])[:target]
+    return xyz
 
 
 def load_blender(cfg: ModelConfig) -> LoadedScene:

@@ -124,3 +124,19 @@ def test_curves_to_edge_dict_merges_endpoints(rng):
     d = curves_to_edge_dict(host)
     assert len(d["curves_ctl_pts"]) == 3
     assert len(d["lines_end_pts"]) == 2
+
+
+def test_emap_sparse_sfm_seed(tmp_path):
+    import numpy as np
+
+    from curve_gaussian_tpu.data.dataset import _emap_seed_points
+
+    root = str(tmp_path)
+    pts = np.random.default_rng(0).uniform(0, 1, size=(50, 3))
+    np.savetxt(root + "/sparse_sfm_points.txt", pts)
+    seed = _emap_seed_points(root)
+    assert seed.shape == (8001, 3)
+    np.testing.assert_allclose(seed[:50], pts, atol=1e-5)
+    # without the file: default grid
+    seed2 = _emap_seed_points(str(tmp_path / "nope"))
+    assert seed2.shape == (15**3, 3)
