@@ -117,6 +117,15 @@ def train_scene(
         bg_val = rng.random()
     bg = jnp.asarray(bg_val, jnp.float32)
 
+    if not all(
+        c.height == cameras[0].height and c.width == cameras[0].width
+        for c in cameras
+    ):
+        raise ValueError(
+            "train_scene requires uniform image sizes across views (the "
+            "scanned training step batches cameras); resize with -r or "
+            "split the scene"
+        )
     logger = JsonlLogger(model_path, quiet=quiet)
     save_scene_artifacts(cameras, seed_points, model_path)
     # device-resident stacks; per-chunk views are gathered on device

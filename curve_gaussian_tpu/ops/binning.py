@@ -115,13 +115,19 @@ def bin_gaussians(
     rw_c = jnp.minimum(rw, max_rect)
     rh_c = jnp.minimum(rh, jnp.maximum(max_rect // jnp.maximum(rw_c, 1), 1))
     rect_overflow = jnp.where(valid, rw * rh - rw_c * rh_c, 0).sum()
+    # when the rect is clipped, keep the rows nearest the mean (clipping from
+    # the top would drop the highest-alpha rows of tall splats)
+    mean_ty = jnp.clip(
+        jnp.floor(my / TILE_H).astype(jnp.int32), y0t, jnp.maximum(y1t - 1, y0t)
+    )
+    y0c = jnp.clip(mean_ty - (rh_c - 1) // 2, y0t, jnp.maximum(y1t - rh_c, y0t))
 
     def pair_fields(r):
         """tile id + candidacy for rect slot r of every gaussian. [P]"""
         rw_s = jnp.maximum(rw_c, 1)
-        py_t = y0t + r // rw_s
+        py_t = y0c + r // rw_s
         px_t = x0t + r % rw_s
-        in_rect = (r < rw_c * rh_c) & (py_t < y0t + rh_c) & valid
+        in_rect = (r < rw_c * rh_c) & (py_t < y0c + rh_c) & valid
         # distance from mean to the tile's pixel rect (alpha-bound cull)
         tx0 = (px_t * TILE_W).astype(fdt)
         ty0 = (py_t * TILE_H).astype(fdt)

@@ -83,7 +83,9 @@ def build_payload(
             pre.extent[:, 0],
             pre.extent[:, 1],
             color,
-            1.0 / pre.depth,
+            # guard: culled rows may sit at arbitrary depth; 1/0 -> inf would
+            # turn the zero cotangent into NaN in the gather transpose
+            jnp.where(pre.valid, 1.0 / jnp.where(pre.valid, pre.depth, 1.0), 0.0),
             allmap[:, 0],
             allmap[:, 1],
             allmap[:, 2],

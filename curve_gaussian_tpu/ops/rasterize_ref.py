@@ -69,7 +69,9 @@ def rasterize_reference(
             pre.opacity[:, None],
             pre.extent,
             color[:, None],
-            1.0 / pre.depth[:, None],
+            jnp.where(
+                pre.valid, 1.0 / jnp.where(pre.valid, pre.depth, 1.0), 0.0
+            )[:, None],
             allmap,
         ],
         axis=-1,
