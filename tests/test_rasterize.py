@@ -177,3 +177,29 @@ class TestBinningEdgeCases:
             np.asarray(half["render"]), np.asarray(sub["render"]), atol=2e-5
         )
         assert np.abs(np.asarray(full["render"]) - np.asarray(half["render"])).max() > 1e-3
+
+
+class TestInvariances:
+    def test_input_order_invariance(self, rng, cam):
+        """Rendering must not depend on the order Gaussians are supplied in
+        (depth sorting + per-tile ranking define the composite)."""
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=20)
+        perm = jnp.asarray(rng.permutation(xyz.shape[0]))
+        a = render(xyz, scale, quat, opacity, cam, capacity=256)
+        b = render(
+            xyz[perm], scale[perm], quat[perm], opacity[perm], cam,
+            capacity=256,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["render"]), np.asarray(b["render"]), atol=2e-5
+        )
+
+    def test_capacity_headroom_invariance(self, rng, cam):
+        """More per-tile capacity than needed must not change the image."""
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=15)
+        a = render(xyz, scale, quat, opacity, cam, capacity=256)
+        b = render(xyz, scale, quat, opacity, cam, capacity=512)
+        assert int(a["overflow"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(a["render"]), np.asarray(b["render"]), atol=1e-6
+        )
