@@ -3,29 +3,42 @@
 TPU-first replacement for the reference's duplicate-keys + radix-sort +
 identifyTileRanges pipeline (cuda_rasterizer/rasterizer_impl.cu:70-138,
 283-320).  XLA wants static shapes, so instead of variable-length per-tile
-ranges we build a dense [num_tiles, K] index table:
+ranges we build a dense [num_tiles, K] index table consumed by the Pallas
+blend kernel.
 
-  1. sort Gaussians once by view depth ([P] sort — cheap);
-  2. candidacy of (tile, gaussian) = AABB/tile interval overlap AND a
-     conservative max-alpha bound: a tile whose closest point to the mean
-     has 0.5*lambda_min(conic)*d^2 beyond ln(255*opacity) cannot contain
-     any pixel passing the alpha >= 1/255 cutoff, so culling it is exact;
-  3. per-tile slot of each candidate = its depth-rank within the tile, read
-     from a dense [tiles, P] prefix-count (one cumsum — cheap VPU work);
-  4. each Gaussian emits its (<= max_rect) rect tiles as [P, R] pairs that
-     SCATTER their sorted index into the [tiles, K] table at their slot.
+Two interchangeable constructions (identical output semantics):
 
-Earlier designs compacted each tile row with searchsorted / nonzero over
-the dense mask; on v5e those lower to per-element loops (~50-120 ms at
-256x49k).  The pair formulation touches only sum(rect areas) ~ a few
-hundred thousand elements (gather + scatter), measured ~20x faster.
+``method='sort'`` (default — the round-2 design, closest in spirit to the
+reference's key sort):
+  1. every Gaussian emits its clipped tile rect as (tile, depth) candidate
+     pairs — a small fixed tier of R1 slots for everyone plus a compacted
+     big-rect tier of R2 slots for the few Gaussians whose rect exceeds R1
+     tiles (pair volume ~= live candidates, not capacity x P);
+  2. one `lax.sort_key_val` over int32 keys packing (tile << DBITS | depth
+     quantized to DBITS bits) — the analogue of the reference's 64-bit
+     [tileID | depth-bits] radix sort, sized to 32 bits because tile and
+     quantized depth both fit;
+  3. per-tile ranges recovered by a vectorized 21-step binary search over
+     the sorted keys (identifyTileRanges equivalent; jnp.searchsorted is
+     avoided — it lowers pathologically on TPU);
+  4. the [T, K] table is a contiguous gather from the sorted values.
+  No scatters anywhere, no [T, P] dense grid, no separate depth argsort.
 
-Capacity bounds (both REPORTED via `overflow`, never silent):
+``method='pairs'`` (the round-1 design, kept as fallback/oracle): depth
+argsort + dense [T, P] prefix-count grid + pair scatters.  O(T*P) memory
+traffic and three pair-volume scatter/gathers — measured ~4-5x slower at
+the bench workload, but useful as an independent construction for tests.
+
+Candidacy of (tile, gaussian) = AABB/tile interval overlap AND a
+conservative max-alpha bound: a tile whose closest point to the mean has
+0.5*lambda_min(conic)*d^2 beyond ln(255*opacity) cannot contain any pixel
+passing the alpha >= 1/255 cutoff, so culling it is exact.
+
+Capacity bounds (all REPORTED via `overflow`, never silent):
   * per-tile capacity K keeps the K nearest (depth order) — far splats are
     the most occluded;
-  * per-Gaussian rect clipped to max_rect tiles (row-major from the rect's
-    top-left); only pathological splats (> max_rect tiles after the alpha
-    cull) lose tiles.
+  * per-Gaussian rect clipped to max_rect tiles (centered on the mean row);
+  * the big-rect tier holds at most `big_capacity` Gaussians (sort method).
 
 Tile geometry is chosen for the VPU: TILE_H x TILE_W = 8 x 128 matches one
 (8,128) float32 vector register exactly, so the blend kernel wastes no lanes
@@ -56,43 +69,24 @@ class Binning(NamedTuple):
     gather_idx: jnp.ndarray  # [T, K] int32 Gaussian index (depth order per tile)
     slot_valid: jnp.ndarray  # [T, K] bool
     counts: jnp.ndarray  # [T] int32 (clamped to K)
-    overflow: jnp.ndarray  # [] int32 — candidates dropped by K or max_rect
+    overflow: jnp.ndarray  # [] int32 — candidates dropped by K / max_rect / big tier
 
 
-@functools.partial(
-    jax.jit, static_argnames=("height", "width", "capacity", "max_rect")
-)
-def bin_gaussians(
-    pre: Preprocessed,
-    height: int,
-    width: int,
-    capacity: int = 1024,
-    max_rect: int = 16,
-) -> Binning:
-    nty, ntx = tile_grid(height, width)
-    T = nty * ntx
-    P = pre.mean2d.shape[0]
-    K = capacity
-    fdt = pre.mean2d.dtype
+class _Rect(NamedTuple):
+    x0t: jnp.ndarray
+    y0t: jnp.ndarray
+    y1t: jnp.ndarray
+    rw_c: jnp.ndarray  # clipped rect width (tiles)
+    rh_c: jnp.ndarray  # clipped rect height (tiles)
+    y0c: jnp.ndarray  # clipped rect top row (centered on the mean row)
+    area: jnp.ndarray  # UNclipped rect area (tiles)
+    r_eff2: jnp.ndarray  # alpha-bound radius^2 (px^2); -1 => cull all
 
-    order = jnp.argsort(jnp.where(pre.valid, pre.depth, jnp.inf))
-    # one packed gather for all per-gaussian fields (measured ~3x cheaper
-    # than seven separate gathers by `order`)
-    packed = jnp.concatenate(
-        [
-            pre.mean2d,
-            pre.extent,
-            pre.conic,
-            pre.opacity[:, None],
-            pre.valid[:, None].astype(pre.mean2d.dtype),
-        ],
-        axis=1,
-    )[order]
-    mx, my = packed[:, 0], packed[:, 1]
-    ex, ey = packed[:, 2], packed[:, 3]
-    conic = packed[:, 4:7]
-    opa = packed[:, 7]
-    valid = packed[:, 8] > 0.5
+
+def _rect_fields(pre: Preprocessed, nty: int, ntx: int, max_rect: int) -> _Rect:
+    mx, my = pre.mean2d[:, 0], pre.mean2d[:, 1]
+    ex, ey = pre.extent[:, 0], pre.extent[:, 1]
+    conic = pre.conic
 
     # conservative alpha-bound radius (see module docstring)
     half_tr = 0.5 * (conic[:, 0] + conic[:, 2])
@@ -102,10 +96,9 @@ def bin_gaussians(
         )
     )
     lmin = jnp.maximum(lmin, 1e-12)
-    log_ratio = jnp.log(jnp.maximum(opa, 1e-12) / ALPHA_EPS)
+    log_ratio = jnp.log(jnp.maximum(pre.opacity, 1e-12) / ALPHA_EPS)
     r_eff2 = jnp.where(log_ratio > 0, 2.0 * log_ratio / lmin, -1.0)
 
-    # clipped tile rect per gaussian
     x0t = jnp.clip(jnp.floor((mx - ex) / TILE_W).astype(jnp.int32), 0, ntx)
     x1t = jnp.clip(jnp.floor((mx + ex) / TILE_W).astype(jnp.int32) + 1, 0, ntx)
     y0t = jnp.clip(jnp.floor((my - ey) / TILE_H).astype(jnp.int32), 0, nty)
@@ -114,30 +107,188 @@ def bin_gaussians(
     rh = jnp.maximum(y1t - y0t, 0)
     rw_c = jnp.minimum(rw, max_rect)
     rh_c = jnp.minimum(rh, jnp.maximum(max_rect // jnp.maximum(rw_c, 1), 1))
-    rect_overflow = jnp.where(valid, rw * rh - rw_c * rh_c, 0).sum()
     # when the rect is clipped, keep the rows nearest the mean (clipping from
     # the top would drop the highest-alpha rows of tall splats)
     mean_ty = jnp.clip(
         jnp.floor(my / TILE_H).astype(jnp.int32), y0t, jnp.maximum(y1t - 1, y0t)
     )
     y0c = jnp.clip(mean_ty - (rh_c - 1) // 2, y0t, jnp.maximum(y1t - rh_c, y0t))
+    return _Rect(x0t, y0t, y1t, rw_c, rh_c, y0c, rw * rh, r_eff2)
+
+
+def _emit_pairs(pre: Preprocessed, rect: _Rect, T: int, ntx: int, max_rect: int):
+    """(tile id [P,R], candidacy [P,R]) for each rect slot of every Gaussian."""
+    mx, my = pre.mean2d[:, 0], pre.mean2d[:, 1]
+    fdt = mx.dtype
+    valid = pre.valid
 
     def pair_fields(r):
-        """tile id + candidacy for rect slot r of every gaussian. [P]"""
-        rw_s = jnp.maximum(rw_c, 1)
-        py_t = y0c + r // rw_s
-        px_t = x0t + r % rw_s
-        in_rect = (r < rw_c * rh_c) & (py_t < y0c + rh_c) & valid
+        rw_s = jnp.maximum(rect.rw_c, 1)
+        py_t = rect.y0c + r // rw_s
+        px_t = rect.x0t + r % rw_s
+        in_rect = (r < rect.rw_c * rect.rh_c) & (py_t < rect.y0c + rect.rh_c) & valid
         # distance from mean to the tile's pixel rect (alpha-bound cull)
         tx0 = (px_t * TILE_W).astype(fdt)
         ty0 = (py_t * TILE_H).astype(fdt)
         dxr = jnp.maximum(jnp.maximum(tx0 - mx, mx - (tx0 + TILE_W - 1)), 0.0)
         dyr = jnp.maximum(jnp.maximum(ty0 - my, my - (ty0 + TILE_H - 1)), 0.0)
-        ok = in_rect & (dxr * dxr + dyr * dyr <= r_eff2)
+        ok = in_rect & (dxr * dxr + dyr * dyr <= rect.r_eff2)
         return jnp.where(ok, py_t * ntx + px_t, T), ok
 
     rs = jnp.arange(max_rect, dtype=jnp.int32)
-    tiles_pr, ok_pr = jax.vmap(pair_fields, out_axes=1)(rs)  # [P, R]
+    return jax.vmap(pair_fields, out_axes=1)(rs)  # [P, R] each
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "capacity", "max_rect", "method", "tier1_rect",
+        "big_capacity",
+    ),
+)
+def bin_gaussians(
+    pre: Preprocessed,
+    height: int,
+    width: int,
+    capacity: int = 1024,
+    max_rect: int = 16,
+    method: str = "sort",
+    tier1_rect: int = 4,
+    big_capacity: int = 4096,
+) -> Binning:
+    nty, ntx = tile_grid(height, width)
+    if method == "sort":
+        return _bin_sort(
+            pre, nty, ntx, capacity, max_rect, tier1_rect, big_capacity
+        )
+    return _bin_pairs(pre, nty, ntx, capacity, max_rect)
+
+
+# ---------------------------------------------------------------------------
+# sort method
+# ---------------------------------------------------------------------------
+
+
+def _bin_sort(
+    pre: Preprocessed,
+    nty: int,
+    ntx: int,
+    K: int,
+    max_rect: int,
+    tier1_rect: int,
+    big_capacity: int,
+):
+    T = nty * ntx
+    P = pre.mean2d.shape[0]
+    # key layout: tile * 2^pbits | depth RANK; sentinel tile T sorts last.
+    # The reference packs raw float depth bits into 64-bit keys
+    # (rasterizer_impl.cu:70-111); the rank gives the same total order in
+    # 32 bits with the exact stable tie-break of the reference oracle.
+    pbits = max((P - 1).bit_length(), 1)
+    if (T + 1) > (1 << (31 - pbits)):
+        raise ValueError(
+            f"tile grid ({T} tiles) x splat count ({P}) exceeds 32-bit sort "
+            "keys; increase tile size or split the image"
+        )
+    D = 1 << pbits
+    order = jnp.argsort(jnp.where(pre.valid, pre.depth, jnp.inf))
+    dq = (
+        jnp.zeros((P,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(P, dtype=jnp.int32), unique_indices=True)
+    )
+
+    rect = _rect_fields(pre, nty, ntx, max_rect)
+    tiles1, ok1 = _emit_pairs(pre, rect, T, ntx, tier1_rect)
+
+    # big-rect tier: compact Gaussians whose clipped rect exceeds tier1_rect
+    # into a fixed budget and emit their remaining slots
+    big = pre.valid & (rect.rw_c * rect.rh_c > tier1_rect)
+    pos = jnp.cumsum(big.astype(jnp.int32)) - 1
+    slot_tbl = jnp.full((big_capacity + 1,), P, jnp.int32)
+    slot_tbl = slot_tbl.at[
+        jnp.where(big & (pos < big_capacity), pos, big_capacity)
+    ].set(jnp.arange(P, dtype=jnp.int32), mode="drop")
+    big_idx = slot_tbl[:big_capacity]  # [B] original rows (or sentinel P)
+
+    def take(a):
+        return jnp.concatenate([a, jnp.zeros_like(a[:1])])[big_idx]
+
+    pre_big = Preprocessed(
+        mean2d=take(pre.mean2d),
+        conic=take(pre.conic),
+        depth=take(pre.depth),
+        opacity=take(pre.opacity),
+        radius=take(pre.radius),
+        extent=take(pre.extent),
+        valid=take(pre.valid) & (big_idx < P),
+    )
+    rect_big = jax.tree.map(take, rect)
+    tiles2, ok2 = _emit_pairs(pre_big, rect_big, T, ntx, max_rect)
+    # tier1 already emitted slots [0, tier1_rect) for every Gaussian
+    tiles2, ok2 = tiles2[:, tier1_rect:], ok2[:, tier1_rect:]
+    dq_big = take(dq)
+
+    p_ids = jnp.arange(P, dtype=jnp.int32)
+    k1 = jnp.where(ok1, tiles1 * D + dq[:, None], T * D).reshape(-1)
+    v1 = jnp.broadcast_to(p_ids[:, None], ok1.shape).reshape(-1)
+    k2 = jnp.where(ok2, tiles2 * D + dq_big[:, None], T * D).reshape(-1)
+    v2 = jnp.broadcast_to(big_idx[:, None], ok2.shape).reshape(-1)
+    keys = jnp.concatenate([k1, k2])
+    vals = jnp.concatenate([v1, v2])
+    sk, sv = jax.lax.sort_key_val(keys, vals)
+    NP = sk.shape[0]
+
+    # identifyTileRanges: starts[t] = lower_bound(sk, t*D), vectorized
+    # binary search (NOT jnp.searchsorted — pathological lowering on TPU)
+    tq = jnp.arange(T + 1, dtype=jnp.int32) * D
+    lo = jnp.zeros((T + 1,), jnp.int32)
+    hi = jnp.full((T + 1,), NP, jnp.int32)
+    for _ in range(max(NP.bit_length(), 1)):
+        mid = (lo + hi) >> 1
+        go = sk[jnp.minimum(mid, NP - 1)] < tq
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    starts = lo
+    raw = starts[1:] - starts[:-1]
+    counts = jnp.minimum(raw, K)
+    idx2 = starts[:T, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    gather_idx = sv[jnp.minimum(idx2, NP - 1)]
+    slot_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+
+    rect_overflow = jnp.where(
+        pre.valid, rect.area - rect.rw_c * rect.rh_c, 0
+    ).sum()
+    big_overflow = jnp.where(
+        big & (pos >= big_capacity), rect.rw_c * rect.rh_c - tier1_rect, 0
+    ).sum()
+    overflow = (
+        jnp.maximum(raw - K, 0).sum() + rect_overflow + big_overflow
+    ).astype(jnp.int32)
+    return Binning(
+        gather_idx=gather_idx,
+        slot_valid=slot_valid,
+        counts=counts.astype(jnp.int32),
+        overflow=overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairs method (round-1 design; independent construction used as test oracle)
+# ---------------------------------------------------------------------------
+
+
+def _bin_pairs(pre: Preprocessed, nty: int, ntx: int, K: int, max_rect: int):
+    T = nty * ntx
+    P = pre.mean2d.shape[0]
+
+    order = jnp.argsort(jnp.where(pre.valid, pre.depth, jnp.inf))
+    pre_s = jax.tree.map(lambda a: a[order], pre)
+    rect = _rect_fields(pre_s, nty, ntx, max_rect)
+    tiles_pr, ok_pr = _emit_pairs(pre_s, rect, T, ntx, max_rect)
+    rect_overflow = jnp.where(
+        pre_s.valid, rect.area - rect.rw_c * rect.rh_c, 0
+    ).sum()
 
     # dense per-tile prefix counts (depth-rank of each candidate in its tile)
     ones = ok_pr.astype(jnp.int32)
