@@ -15,6 +15,7 @@ against an estimated 100 Mpix/s fwd+bwd for the reference CUDA pipeline on
 an A100 at this workload (renderCUDA fwd+bwd ~2.6ms/iter at 0.26 Mpix).
 The north-star target is >=3x per chip.
 """
+import argparse
 import json
 import sys
 import time
@@ -23,6 +24,11 @@ BASELINE_MPIX_S = 100.0
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of one chunk here")
+    ap.add_argument("--skip-midpoint", action="store_true")
+    args = ap.parse_args()
     import jax
 
     try:
@@ -95,6 +101,46 @@ def main():
         f"{mpix_per_s:.1f} Mpix/s fwd+bwd (loss {loss:.4f})",
         file=sys.stderr,
     )
+
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            ts, m = chunk(ts, 99)
+            jax.block_until_ready(m["total"])
+        print(f"profiler trace -> {args.profile_dir}", file=sys.stderr)
+
+    if not args.skip_midpoint:
+        # secondary number: the mid-training operating point — after the
+        # 7k-iteration prune the survivor set is O(10^2) curves rendered with
+        # the hard mask (use_mask=True); throughput there governs wall-clock
+        # of the whole second half of a run (RESULTS.md shows ~4x the
+        # worst-case rate)
+        state_m = cs.init_state(
+            seed_pts[:: 8], n_views=n_views, n_gaussians=12, capacity=512
+        )
+        ts_m = T.init_train_state(state_m)
+
+        def chunk_m(ts_m):
+            vi = jnp.arange(K, dtype=jnp.int32) % n_views
+            return T.train_steps_scan(
+                ts_m, (w2c[vi], proj[vi], ctr[vi]), gt_all[vi], bg, opt_cfg,
+                pipe_cfg, use_mask=True, n_gaussians=12, cam_geom=geom,
+            )
+
+        t0 = time.time()
+        ts_m, mm = chunk_m(ts_m)
+        print(f"midpoint compile+chunk {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        for _ in range(n_chunks):
+            ts_m, mm = chunk_m(ts_m)
+        float(mm["total"][-1])
+        dt_m = time.time() - t0
+        it_m = n_chunks * K / dt_m
+        print(
+            f"mid-training point ({state_m.capacity} curves, use_mask): "
+            f"{it_m:.2f} it/s, {it_m * H * W / 1e6:.1f} Mpix/s",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

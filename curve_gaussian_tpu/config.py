@@ -38,6 +38,13 @@ class PipelineConfig:
     # TPU-specific
     tile_capacity: int = 1024  # max Gaussians per 8x128 pixel tile
     backend: str = "pallas"  # 'pallas' | 'reference'
+    # what the training driver does when a chunk reports dropped tile
+    # candidates (ops/binning.py overflow): 'grow' doubles tile_capacity at
+    # the next chunk boundary (recompile), 'raise' fails fast, 'warn' only
+    # logs.  The overflowed chunk itself ran with degraded gradients either
+    # way — growth keeps subsequent chunks exact.
+    overflow_policy: str = "grow"  # 'grow' | 'raise' | 'warn'
+    max_tile_capacity: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

@@ -76,6 +76,7 @@ class TrainResult:
     edge_dict: Dict
     metrics_path: str
     model_path: str
+    pipe_cfg: Optional[PipelineConfig] = None  # final (tile_capacity may grow)
 
 
 def train_scene(
@@ -96,7 +97,25 @@ def train_scene(
     quiet: bool = False,
     seed: int = 0,
     scan_chunk: int = 100,
+    dump_images: bool = True,
+    views_per_step: int = 1,
+    n_devices: Optional[int] = None,
 ) -> TrainResult:
+    """Train one scene end-to-end.
+
+    views_per_step > 1 switches to the multi-chip data-parallel path
+    (parallel.sharding.parallel_train_steps_scan): every optimizer step
+    consumes a B-view batch sharded over up to `n_devices` chips (defaults
+    to all local devices), with curve gradients psum-averaged over ICI.
+    A B-view mean-reduced step equals B reference iterations' averaged
+    gradient; `iterations` still counts optimizer steps."""
+    try:  # persistent compile cache (idempotent; compiles cost minutes here)
+        import jax as _jx
+
+        _jx.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+        _jx.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     m = model_cfg.n_gaussians
     state = cs.init_state(seed_points, n_views=len(cameras), n_gaussians=m)
     ts = init_train_state(state)
@@ -141,6 +160,25 @@ def train_scene(
     )
     view_stack: List[int] = []
     t_start = time.time()
+    # fixed compiled chunk length (padding target); never longer than the run
+    scan_chunk = max(1, min(scan_chunk, opt_cfg.iterations - first_iter))
+
+    B = max(int(views_per_step), 1)
+    parallel = B > 1 or (n_devices is not None and n_devices > 1)
+    ndev = 1
+    if parallel:
+        import jax
+
+        from ..parallel import sharding as ps
+
+        ndev = min(n_devices or len(jax.devices()), B, len(jax.devices()))
+        while B % ndev:  # even shards only
+            ndev -= 1
+        if not quiet:
+            print(
+                f"data-parallel: {B} views/step over {ndev} device(s)",
+                flush=True,
+            )
 
     # host-event boundaries: every iteration where surgery fires, plus the
     # explicit test/save/checkpoint sets and the use_mask flip
@@ -148,10 +186,82 @@ def train_scene(
     for i in range(first_iter + 1, opt_cfg.iterations + 1):
         if surgery.schedule_fires(i, opt_cfg) or i == opt_cfg.densify_until_iter:
             events.add(i)
+    # static-loss flips need a chunk boundary right BEFORE their first
+    # active iteration: use_mask at densify_until (train.py:110), conn at
+    # conn_from_iter+1 (train.py:133)
+    events.add(opt_cfg.densify_until_iter - 1)
+    events.add(opt_cfg.conn_from_iter)
     events.update(t for t in test_iterations)
     events.update(t for t in save_iterations)
     events.update(t for t in checkpoint_iterations)
     events.add(opt_cfg.iterations)
+
+    # flag-variant pre-warm: the (use_mask, conn_on) combos this run will
+    # reach are known from the config; compile the NOT-yet-active variants
+    # in a background thread (AOT lower+compile populates the persistent
+    # compilation cache) so the flips at densify_until/conn_from don't stall
+    # the driver for minutes of tunnel compile time.
+    def _flag_variants(from_iter: int):
+        out = []
+        for i in (from_iter + 1, opt_cfg.densify_until_iter,
+                  opt_cfg.conn_from_iter + 1, opt_cfg.iterations):
+            if from_iter < i <= opt_cfg.iterations:
+                f = (i >= opt_cfg.densify_until_iter, i > opt_cfg.conn_from_iter)
+                if f not in out:
+                    out.append(f)
+        return out
+
+    def _spawn_prewarm(ts_now, from_iter: int):
+        import jax as _jax
+
+        if _jax.default_backend() == "cpu" or os.environ.get("CGT_NO_PREWARM"):
+            return
+        variants = _flag_variants(from_iter)[1:]  # head compiles on next call
+        if not variants:
+            return
+
+        def work():
+            sds = lambda a: _jax.ShapeDtypeStruct(a.shape, a.dtype)
+            ts_s = _jax.tree.map(sds, ts_now)
+            kp_ = scan_chunk
+            if parallel:
+                cam_s = tuple(
+                    _jax.ShapeDtypeStruct((kp_, B) + a.shape[1:], a.dtype)
+                    for a in (w2c_all, proj_all, ctr_all)
+                )
+                gt_s = _jax.ShapeDtypeStruct((kp_, B) + gt_all.shape[1:],
+                                             gt_all.dtype)
+            else:
+                cam_s = tuple(
+                    _jax.ShapeDtypeStruct((kp_,) + a.shape[1:], a.dtype)
+                    for a in (w2c_all, proj_all, ctr_all)
+                )
+                gt_s = _jax.ShapeDtypeStruct((kp_,) + gt_all.shape[1:],
+                                             gt_all.dtype)
+            scalar = _jax.ShapeDtypeStruct((), jnp.int32)
+            bg_s = sds(bg)
+            for um, co in variants:
+                try:
+                    if parallel:
+                        ps.parallel_train_steps_scan.lower(
+                            ts_s, cam_s, gt_s, bg_s, opt_cfg, pipe_cfg,
+                            use_mask=um, mesh_shape=(("data", ndev),),
+                            cam_geom=cam_geom, conn_on=co, n_active=scalar,
+                        ).compile()
+                    else:
+                        train_steps_scan.lower(
+                            ts_s, cam_s, gt_s, bg_s, opt_cfg, pipe_cfg,
+                            use_mask=um, n_gaussians=m, cam_geom=cam_geom,
+                            conn_on=co, n_active=scalar,
+                        ).compile()
+                except Exception as e:  # pragma: no cover - best effort
+                    print(f"prewarm ({um},{co}) failed: {e}", flush=True)
+
+        import threading
+
+        threading.Thread(target=work, daemon=True).start()
+
+    _spawn_prewarm(ts, first_iter)
 
     iteration = first_iter
     while iteration < opt_cfg.iterations:
@@ -160,25 +270,84 @@ def train_scene(
         )
         k = min(next_event - iteration, scan_chunk)
         idxs = []
-        for _ in range(k):
+        for _ in range(k * B):
             if not view_stack:
                 view_stack = list(range(len(cameras)))
             idxs.append(view_stack.pop(rng.randrange(len(view_stack))))
-        vi = jnp.asarray(idxs, jnp.int32)
-        use_mask = (iteration + 1) >= opt_cfg.densify_until_iter
-        t_chunk = time.time()
-        ts, metrics = train_steps_scan(
-            ts,
-            (w2c_all[vi], proj_all[vi], ctr_all[vi]),
-            gt_all[vi],
-            bg,
-            opt_cfg,
-            pipe_cfg,
-            use_mask=use_mask,
-            n_gaussians=m,
-            cam_geom=cam_geom,
+        # pad the chunk to a power-of-2 bucket: steps >= k are no-ops
+        # (n_active mask), so a handful of compiled scan sizes serve every
+        # event-boundary chunk length instead of recompiling per distinct k
+        # (compiles cost minutes over the TPU tunnel).  On the default
+        # schedule nearly all chunks are exactly scan_chunk, so padding
+        # waste is ~zero; worst case is <2x on one boundary chunk.
+        kp = scan_chunk if k == scan_chunk else min(
+            1 << (k - 1).bit_length() if k > 1 else 1, scan_chunk
         )
-        metrics = {kk: np.asarray(v) for kk, v in metrics.items()}
+        idxs = idxs + [idxs[-1]] * ((kp - k) * B)
+        n_active = jnp.asarray(k, jnp.int32)
+        use_mask = (iteration + 1) >= opt_cfg.densify_until_iter
+        conn_on = (iteration + 1) > opt_cfg.conn_from_iter
+        t_chunk = time.time()
+        if parallel:
+            vi = jnp.asarray(idxs, jnp.int32).reshape(kp, B)
+            ts, metrics = ps.parallel_train_steps_scan(
+                ts,
+                (w2c_all[vi], proj_all[vi], ctr_all[vi]),
+                gt_all[vi],
+                bg,
+                opt_cfg,
+                pipe_cfg,
+                use_mask=use_mask,
+                mesh_shape=(("data", ndev),),
+                cam_geom=cam_geom,
+                conn_on=conn_on,
+                n_active=n_active,
+            )
+        else:
+            vi = jnp.asarray(idxs, jnp.int32)
+            ts, metrics = train_steps_scan(
+                ts,
+                (w2c_all[vi], proj_all[vi], ctr_all[vi]),
+                gt_all[vi],
+                bg,
+                opt_cfg,
+                pipe_cfg,
+                use_mask=use_mask,
+                n_gaussians=m,
+                cam_geom=cam_geom,
+                conn_on=conn_on,
+                n_active=n_active,
+            )
+        metrics = {kk: np.asarray(v)[:k] for kk, v in metrics.items()}
+        ov = int(metrics.get("overflow", np.zeros(1)).sum())
+        if ov > 0:
+            print(
+                f"[{iteration + k:6d}] WARNING: binning dropped {ov} tile "
+                f"candidates this chunk (tile_capacity {pipe_cfg.tile_capacity}"
+                f", policy {pipe_cfg.overflow_policy})",
+                flush=True,
+            )
+            if pipe_cfg.overflow_policy == "raise":
+                raise RuntimeError(
+                    f"tile binning overflow ({ov} candidates dropped at "
+                    f"tile_capacity={pipe_cfg.tile_capacity}); raise "
+                    "--tile-capacity or use overflow_policy='grow'"
+                )
+            if (
+                pipe_cfg.overflow_policy == "grow"
+                and pipe_cfg.tile_capacity < pipe_cfg.max_tile_capacity
+            ):
+                pipe_cfg = dataclasses.replace(
+                    pipe_cfg,
+                    tile_capacity=min(
+                        pipe_cfg.tile_capacity * 2, pipe_cfg.max_tile_capacity
+                    ),
+                )
+                print(
+                    f"[{iteration + k:6d}] growing tile_capacity -> "
+                    f"{pipe_cfg.tile_capacity} (recompile at next chunk)",
+                    flush=True,
+                )
         # per-iteration wall time (the reference's iter_time TB scalar)
         metrics["iter_time"] = np.full(
             k, (time.time() - t_chunk) / k, np.float32
@@ -193,6 +362,8 @@ def train_scene(
 
         ts2 = surgery.apply_schedule(ts, iteration, opt_cfg)
         if ts2 is not ts:
+            if ts2.alive.shape[0] != ts.alive.shape[0]:
+                _spawn_prewarm(ts2, iteration)  # capacity re-bucketed
             ts = ts2
             if not quiet:
                 print(
@@ -203,7 +374,7 @@ def train_scene(
 
         if iteration in test_iterations and test_cameras:
             l1s, psnrs = [], []
-            for tc, tg in zip(test_cameras, test_edge_maps):
+            for ti, (tc, tg) in enumerate(zip(test_cameras, test_edge_maps)):
                 out = eval_render(
                     ts, tc, pipe_cfg, bg, use_mask=use_mask, n_gaussians=m,
                     mask_threshold=opt_cfg.mask_threshold,
@@ -212,6 +383,8 @@ def train_scene(
                 l1s.append(float(np.abs(img - tg).mean()))
                 mse = float(np.mean((img - tg) ** 2))
                 psnrs.append(-10.0 * np.log10(mse + 1e-12))
+                if dump_images and ti < 5:
+                    save_debug_images(out, tg, model_path, iteration, ti)
             logger.log(
                 iteration,
                 {"test_l1": np.mean(l1s), "test_psnr": np.mean(psnrs)},
@@ -251,8 +424,48 @@ def train_scene(
     logger.close()
     return TrainResult(
         ts=ts, edge_dict=edge_dict, metrics_path=logger.path,
-        model_path=model_path,
+        model_path=model_path, pipe_cfg=pipe_cfg,
     )
+
+
+def _colormap_turbo(x: np.ndarray) -> np.ndarray:
+    """[H,W] in [0,1] -> [H,W,3] uint8 via a compact turbo-like polynomial
+    (stands in for the reference's matplotlib colormap, train.py:348-352)."""
+    x = np.clip(x, 0.0, 1.0)
+    r = np.clip(1.61 * x**3 - 0.64 * x**2 + 0.82 * x + 0.19, 0, 1)
+    g = np.clip(-3.2 * (x - 0.52) ** 2 + 0.92, 0, 1)
+    b = np.clip(2.55 * (1 - x) ** 3 - 0.3 * (1 - x) + 0.27, 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
+def save_debug_images(out, gt, model_path: str, iteration: int, view: int):
+    """PNG dumps of render/GT/depth/dir/alpha at test iterations.
+
+    TPU-side equivalent of the reference's TensorBoard image logging
+    (train.py:321-376: render, GT, depth colormap, rend_dir, rend_alpha).
+    """
+    from PIL import Image
+
+    d = os.path.join(model_path, f"test_images/iter_{iteration:06d}")
+    os.makedirs(d, exist_ok=True)
+
+    def gray(name, a):
+        a8 = (np.clip(np.asarray(a, np.float32), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(a8).save(os.path.join(d, f"v{view:02d}_{name}.png"))
+
+    gray("render", out["render"])
+    gray("gt", gt)
+    gray("alpha", out["alpha"])
+    invd = np.asarray(out["invdepth"], np.float32)
+    rng = invd.max() - invd.min()
+    Image.fromarray(
+        _colormap_turbo((invd - invd.min()) / (rng if rng > 0 else 1.0))
+    ).save(os.path.join(d, f"v{view:02d}_depth.png"))
+    # direction map: [-1,1]^3 -> RGB
+    dir_img = np.moveaxis(np.asarray(out["dir"], np.float32), 0, -1)
+    Image.fromarray(
+        (np.clip(dir_img * 0.5 + 0.5, 0, 1) * 255).astype(np.uint8)
+    ).save(os.path.join(d, f"v{view:02d}_dir.png"))
 
 
 def save_scene_artifacts(cameras, seed_points, model_path: str):

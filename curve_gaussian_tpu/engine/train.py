@@ -57,7 +57,7 @@ def curve_state_of(ts: TrainState) -> cs.CurveState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "n_gaussians"),
+    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "conn_on"),
     donate_argnums=(0,),
 )
 def train_step(
@@ -69,9 +69,11 @@ def train_step(
     pipe_cfg: PipelineConfig,
     use_mask: bool,
     n_gaussians: int,
+    conn_on: bool | None = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     return _train_step_impl(
-        ts, cam, gt_image, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians
+        ts, cam, gt_image, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians,
+        conn_on=conn_on,
     )
 
 
@@ -84,6 +86,7 @@ def _train_step_impl(
     pipe_cfg: PipelineConfig,
     use_mask: bool,
     n_gaussians: int,
+    conn_on: bool | None = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     cap = ts.alive.shape[0]
     P = cap * n_gaussians
@@ -112,7 +115,9 @@ def _train_step_impl(
             capacity=pipe_cfg.tile_capacity,
             backend=pipe_cfg.backend,
         )
-        loss, aux = L.total_loss(state, out, gauss, gt_image, opt_cfg, use_mask)
+        loss, aux = L.total_loss(
+            state, out, gauss, gt_image, opt_cfg, use_mask, conn_on=conn_on
+        )
         return loss, (aux, out["visibility"] & gauss["alive"], out["radii"],
                       out["overflow"])
 
@@ -153,7 +158,9 @@ def _train_step_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "cam_geom"),
+    static_argnames=(
+        "opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "cam_geom", "conn_on"
+    ),
     donate_argnums=(0,),
 )
 def train_steps_scan(
@@ -166,16 +173,24 @@ def train_steps_scan(
     use_mask: bool,
     n_gaussians: int,
     cam_geom,  # (H, W, tanfovx, tanfovy) static
+    conn_on: bool | None = None,
+    n_active: jnp.ndarray | None = None,
 ):
     """Run K training steps in ONE dispatch via lax.scan.
 
     Host-dispatch latency (significant on remote/tunneled TPU runtimes)
     amortizes over the chunk; surgery/logging happen between chunks on the
-    host.  Returns (ts, stacked per-step metrics)."""
+    host.  `n_active` (traced scalar) marks steps >= n_active as no-ops
+    (state passes through unchanged): the driver pads every chunk to a
+    fixed K so ONE compilation serves all event-boundary chunk lengths —
+    scan-body compiles are minutes over the TPU tunnel, so trading a little
+    padded compute for shape stability is a large net win.
+    Returns (ts, stacked per-step metrics)."""
     h, w, tfx, tfy = cam_geom
+    K = gts.shape[0]
 
     def body(ts, xs):
-        w2c, proj, ctr, gt = xs
+        i, w2c, proj, ctr, gt = xs
         cam = Camera(
             world_to_cam=w2c,
             full_proj=proj,
@@ -185,12 +200,19 @@ def train_steps_scan(
             tanfovx=tfx,
             tanfovy=tfy,
         )
-        ts, metrics = _train_step_impl(
-            ts, cam, gt, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians
+        ts2, metrics = _train_step_impl(
+            ts, cam, gt, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians,
+            conn_on=conn_on,
         )
-        return ts, metrics
+        if n_active is not None:
+            act = i < n_active
+            ts2 = jax.tree.map(
+                lambda a, b: jnp.where(act, a, b), ts2, ts
+            )
+        return ts2, metrics
 
-    ts, metrics = jax.lax.scan(body, ts, (*cam_arrays, gts))
+    idx = jnp.arange(K, dtype=jnp.int32)
+    ts, metrics = jax.lax.scan(body, ts, (idx, *cam_arrays, gts))
     return ts, metrics
 
 

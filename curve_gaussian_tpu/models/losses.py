@@ -104,8 +104,17 @@ def total_loss(
     gt_image: jnp.ndarray,
     opt: OptimizationConfig,
     use_mask: bool,
+    conn_on: bool | None = None,
 ):
-    """Assemble the full training objective; returns (loss, aux dict)."""
+    """Assemble the full training objective; returns (loss, aux dict).
+
+    use_mask gates the mask sparsity term (reference train.py:110-111,
+    iteration >= densify_until_iter); conn_on gates the endpoint
+    connectivity term (train.py:133, iteration > conn_from_iter) — None
+    falls back to use_mask (the two schedules coincide at default config).
+    """
+    if conn_on is None:
+        conn_on = use_mask
     image = render_out["render"]
     ll1 = edge_aware_loss(image, gt_image)
     ssim_v = ssim(image, gt_image)
@@ -138,7 +147,7 @@ def total_loss(
         loss = loss + opt.lambda_width * wl
         aux["width"] = wl
 
-    if opt.lambda_points_conn > 0 and use_mask:  # conn_from_iter == densify_until
+    if opt.lambda_points_conn > 0 and conn_on:
         conn = connectivity_loss(
             state.curve_points, state.alive, opt.conn_dist_threshold
         )

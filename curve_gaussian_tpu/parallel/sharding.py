@@ -70,6 +70,7 @@ def _one_view_grads(
     pipe_cfg: PipelineConfig,
     use_mask: bool,
     cam_geom,
+    conn_on: bool | None = None,
 ):
     is_bezier, alive = topo
     h, w, tfx, tfy = cam_geom
@@ -105,19 +106,118 @@ def _one_view_grads(
             capacity=pipe_cfg.tile_capacity,
             backend=pipe_cfg.backend,
         )
-        loss, aux = L.total_loss(state, out, gauss, gt, opt_cfg, use_mask)
-        return loss, (aux["total"], out["visibility"] & gauss["alive"], out["radii"])
+        loss, aux = L.total_loss(
+            state, out, gauss, gt, opt_cfg, use_mask, conn_on=conn_on
+        )
+        return loss, (
+            aux["total"],
+            out["visibility"] & gauss["alive"],
+            out["radii"],
+            out["overflow"],
+        )
 
     offset0 = jnp.zeros((P_g, 2), jnp.float32)
-    (loss, (total, visible, radii)), (gp, goff) = jax.value_and_grad(
+    (loss, (total, visible, radii, overflow)), (gp, goff) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(params, offset0)
-    return gp, goff, total, visible, radii
+    return gp, goff, total, visible, radii, overflow
+
+
+def _local_batch_step(
+    ts: TrainState,
+    xs,  # (w2c [Bl,4,4], proj [Bl,4,4], ctr [Bl,3], gt [Bl,H,W]) local shard
+    bg: jnp.ndarray,
+    opt_cfg: OptimizationConfig,
+    pipe_cfg: PipelineConfig,
+    use_mask: bool,
+    conn_on: bool | None,
+    cam_geom,
+):
+    """One optimizer step from a LOCAL shard of a B-view batch.
+
+    Must run inside a shard_map context with mesh axis 'data': local
+    per-view gradients are scanned and summed, psum-averaged over ICI, and
+    the (replicated) Adam + densify-stat update is computed identically on
+    every device.  A B-view mean-reduced step equals B reference iterations'
+    averaged gradient (standard DP batch scaling)."""
+    w2c, proj, ctr, gt = xs
+    nb = gt.shape[0]
+    P_g = ts.alive.shape[0] * ts.params["mask_raw"].shape[1]
+
+    def body(carry, idx):
+        gp_acc, goff_acc, tot_acc, ov_acc, vis_acc, rad_acc = carry
+        gp, goff, total, visible, radii, ov = _one_view_grads(
+            ts.params,
+            (ts.is_bezier, ts.alive),
+            (w2c[idx], proj[idx], ctr[idx]),
+            gt[idx],
+            bg,
+            opt_cfg,
+            pipe_cfg,
+            use_mask,
+            cam_geom,
+            conn_on=conn_on,
+        )
+        return (
+            jax.tree.map(jnp.add, gp_acc, gp),
+            goff_acc + goff,
+            tot_acc + total,
+            ov_acc + ov,
+            vis_acc | visible,
+            jnp.maximum(rad_acc, radii),
+        ), None
+
+    init = (
+        jax.tree.map(jnp.zeros_like, ts.params),
+        jnp.zeros((P_g, 2), jnp.float32),
+        jnp.zeros(()),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((P_g,), bool),
+        jnp.zeros((P_g,), jnp.int32),
+    )
+    (gp, goff, tot, ov, vis, rad), _ = jax.lax.scan(
+        body, init, jnp.arange(nb)
+    )
+    nglobal = nb * jax.lax.psum(1, "data")
+    gp = jax.tree.map(lambda g: jax.lax.psum(g, "data") / nglobal, gp)
+    goff = jax.lax.psum(goff, "data") / nglobal
+    tot = jax.lax.psum(tot, "data") / nglobal
+    ov = jax.lax.psum(ov, "data")
+    vis = jax.lax.psum(vis.astype(jnp.int32), "data") > 0
+    rad = jax.lax.pmax(rad, "data")
+
+    lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
+    lrs = dict(lrs)
+    lrs["opacity_raw"] = jnp.where(ts.opacity_frozen, 0.0, lrs["opacity_raw"])
+    new_params, new_opt = optim.adam_update(ts.params, gp, ts.opt, lrs)
+
+    ndc = goff * jnp.asarray(
+        [0.5 * cam_geom[1], 0.5 * cam_geom[0]], goff.dtype
+    )
+    gnorm = jnp.linalg.norm(ndc, axis=-1)
+    vis_f = vis.astype(gnorm.dtype)
+    new_ts = dataclasses.replace(
+        ts,
+        params=new_params,
+        opt=new_opt,
+        xyz_grad_accum=ts.xyz_grad_accum + gnorm * vis_f,
+        denom=ts.denom + vis_f,
+        max_radii=jnp.maximum(ts.max_radii, jnp.where(vis, rad, 0)),
+        step=ts.step + 1,
+    )
+    metrics = {
+        "total": tot,
+        "overflow": ov,
+        "n_visible": jnp.sum(vis),
+    }
+    return new_ts, metrics
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom"),
+    static_argnames=(
+        "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom", "conn_on"
+    ),
     donate_argnums=(0,),
 )
 def parallel_train_step(
@@ -130,6 +230,7 @@ def parallel_train_step(
     use_mask: bool,
     mesh_shape: Tuple[Tuple[str, int], ...],
     cam_geom: Tuple[int, int, float, float],
+    conn_on: bool | None = None,
 ):
     """One data-parallel step over a B-view batch.
 
@@ -141,78 +242,81 @@ def parallel_train_step(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), (P(), P()), (P("data"), P("data"), P("data")), P("data"), P()),
-        out_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), (P("data"), P("data"), P("data")), P("data"), P()),
+        out_specs=(P(), P()),
         check_rep=False,
     )
-    def grads_over_views(params, topo, cam_arrays, gts, bg):
-        nb = gts.shape[0]  # local views
+    def run(ts, cam_arrays, gts, bg):
+        return _local_batch_step(
+            ts, (*cam_arrays, gts), bg, opt_cfg, pipe_cfg, use_mask, conn_on,
+            cam_geom,
+        )
 
-        def body(carry, idx):
-            gp_acc, goff_acc, tot_acc, vis_acc, rad_acc = carry
-            gp, goff, total, visible, radii = _one_view_grads(
-                params,
-                topo,
-                jax.tree.map(lambda a: a[idx], cam_arrays),
-                gts[idx],
-                bg,
-                opt_cfg,
-                pipe_cfg,
-                use_mask,
-                cam_geom,
+    return run(ts, cam_arrays, gts, bg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom", "conn_on"
+    ),
+    donate_argnums=(0,),
+)
+def parallel_train_steps_scan(
+    ts: TrainState,
+    cam_arrays,  # (w2c [K,B,4,4], proj [K,B,4,4], centers [K,B,3])
+    gts: jnp.ndarray,  # [K, B, H, W] sharded on B
+    bg: jnp.ndarray,
+    opt_cfg: OptimizationConfig,
+    pipe_cfg: PipelineConfig,
+    use_mask: bool,
+    mesh_shape: Tuple[Tuple[str, int], ...],
+    cam_geom: Tuple[int, int, float, float],
+    conn_on: bool | None = None,
+    n_active: jnp.ndarray | None = None,
+):
+    """K data-parallel steps (B views each) in ONE dispatch.
+
+    The multi-chip counterpart of engine.train.train_steps_scan: the
+    lax.scan lives INSIDE the shard_map, so per-step psum + replicated Adam
+    run back-to-back on device and host-dispatch latency amortizes over the
+    chunk.  `n_active` marks trailing steps as no-ops so the driver can pad
+    chunks to one compiled shape (see train_steps_scan).
+    Returns (ts, stacked per-step metrics [K])."""
+    mesh = make_mesh(dict(mesh_shape)["data"])
+    K = gts.shape[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            (P(None, "data"), P(None, "data"), P(None, "data")),
+            P(None, "data"),
+            P(),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def run(ts, cam_arrays, gts, bg, n_act):
+        def body(ts, xs):
+            i, w2c, proj, ctr, gt = xs
+            ts2, metrics = _local_batch_step(
+                ts, (w2c, proj, ctr, gt), bg, opt_cfg, pipe_cfg, use_mask,
+                conn_on, cam_geom,
             )
-            return (
-                jax.tree.map(jnp.add, gp_acc, gp),
-                goff_acc + goff,
-                tot_acc + total,
-                vis_acc | visible,
-                jnp.maximum(rad_acc, radii),
-            ), None
+            if n_act is not None:
+                act = i < n_act
+                ts2 = jax.tree.map(
+                    lambda a, b: jnp.where(act, a, b), ts2, ts
+                )
+            return ts2, metrics
 
-        P_g = topo[1].shape[0] * params["mask_raw"].shape[1]
-        init = (
-            jax.tree.map(jnp.zeros_like, params),
-            jnp.zeros((P_g, 2), jnp.float32),
-            jnp.zeros(()),
-            jnp.zeros((P_g,), bool),
-            jnp.zeros((P_g,), jnp.int32),
-        )
-        (gp, goff, tot, vis, rad), _ = jax.lax.scan(
-            body, init, jnp.arange(nb)
-        )
-        nglobal = nb * jax.lax.psum(1, "data")
-        gp = jax.tree.map(
-            lambda g: jax.lax.psum(g, "data") / nglobal, gp
-        )
-        goff = jax.lax.psum(goff, "data") / nglobal
-        tot = jax.lax.psum(tot, "data") / nglobal
-        vis = jax.lax.psum(vis.astype(jnp.int32), "data") > 0
-        rad = jax.lax.pmax(rad, "data")
-        return gp, goff, tot, vis, rad
+        idx = jnp.arange(K, dtype=jnp.int32)
+        return jax.lax.scan(body, ts, (idx, *cam_arrays, gts))
 
-    gp, goff, total, visible, radii = grads_over_views(
-        ts.params, (ts.is_bezier, ts.alive), cam_arrays, gts, bg
-    )
-    lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
-    lrs = dict(lrs)
-    lrs["opacity_raw"] = jnp.where(ts.opacity_frozen, 0.0, lrs["opacity_raw"])
-    new_params, new_opt = optim.adam_update(ts.params, gp, ts.opt, lrs)
-
-    ndc = goff * jnp.asarray(
-        [0.5 * cam_geom[1], 0.5 * cam_geom[0]], goff.dtype
-    )
-    gnorm = jnp.linalg.norm(ndc, axis=-1)
-    vis_f = visible.astype(gnorm.dtype)
-    new_ts = dataclasses.replace(
-        ts,
-        params=new_params,
-        opt=new_opt,
-        xyz_grad_accum=ts.xyz_grad_accum + gnorm * vis_f,
-        denom=ts.denom + vis_f,
-        max_radii=jnp.maximum(ts.max_radii, jnp.where(visible, radii, 0)),
-        step=ts.step + 1,
-    )
-    return new_ts, {"total": total}
+    return run(ts, cam_arrays, gts, bg, n_active)
 
 
 def camera_batch_arrays(cams: Sequence[Camera], mesh: Mesh | None = None):

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Fabricate a reference-scale EMAP dataset (ABC geometry) on disk.
+
+No real ABC-NEF/Replica data ships in this environment, so this script
+synthesizes one at the reference's operating point (SURVEY §6: images up to
+~1600 px trained at -r 2 => ~800^2, ~50 views, meta_data.json EMAP layout,
+edge_DexiNed/ maps): random Bézier/line primitives in the unit cube are
+splatted by OUR renderer at full resolution and written as the "detector"
+edge maps.  Training then runs the full schedule through train.py -s ... -r 2
+exactly like a real scan (reference scene/dataset_readers.py:290-329,
+README.md:129).
+
+Usage:
+  python scripts/make_ref_scale_scene.py --out /root/data/refscale \
+      --size 1600 --views 50 --curves 24 --lines 8 [--cpu]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--size", type=int, default=1600)
+    p.add_argument("--views", type=int, default=50)
+    p.add_argument("--curves", type=int, default=24)
+    p.add_argument("--lines", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gt-width", type=float, default=0.003)
+    p.add_argument("--tile-capacity", type=int, default=1024)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from curve_gaussian_tpu.data import synthetic
+    from curve_gaussian_tpu.ops import bezier
+    from curve_gaussian_tpu.ops.camera import fov2focal
+    from curve_gaussian_tpu.ops.render import render
+
+    rng = np.random.default_rng(args.seed)
+    cp, is_bez = synthetic.random_curves(rng, args.curves, args.lines)
+    H = W = args.size
+    cams = synthetic.ring_cameras(args.views, H, W)
+
+    g = bezier.curve_gaussians(
+        jnp.asarray(cp),
+        jnp.full((cp.shape[0],), args.gt_width),
+        jnp.asarray(is_bez),
+        64,
+    )
+    xyz = g["xyz"].reshape(-1, 3)
+    scale = g["scale"].reshape(-1, 3)
+    quat = g["quat"].reshape(-1, 4)
+    opa = jnp.full((xyz.shape[0],), 0.95, jnp.float32)
+
+    os.makedirs(os.path.join(args.out, "color"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "edge_DexiNed"), exist_ok=True)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def render_view(w2c, proj, ctr):
+        from curve_gaussian_tpu.ops.camera import Camera
+
+        cam = Camera(
+            world_to_cam=w2c, full_proj=proj, cam_center=ctr,
+            height=H, width=W,
+            tanfovx=cams[0].tanfovx, tanfovy=cams[0].tanfovy,
+        )
+        out = render(
+            xyz, scale, quat, opa, cam, bg=0.0,
+            capacity=args.tile_capacity, render_geo=False,
+            compute_invdepth=False,
+        )
+        return out["render"], out["overflow"]
+
+    frames = []
+    for i, cam in enumerate(cams):
+        img, ov = render_view(cam.world_to_cam, cam.full_proj, cam.cam_center)
+        img = np.asarray(img)
+        if int(ov):
+            print(f"view {i}: overflow {int(ov)} (raise --tile-capacity)")
+        name = f"{i:04d}.png"
+        arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(
+            os.path.join(args.out, "edge_DexiNed", name)
+        )
+        # color/ is only consulted for its path name by the loader; store the
+        # same map so the directory layout matches a real EMAP export
+        Image.fromarray(arr).save(os.path.join(args.out, "color", name))
+        w2c = np.asarray(cam.world_to_cam, np.float64)
+        K = np.array(
+            [
+                [fov2focal(2 * np.arctan(cam.tanfovx), W), 0.0, W / 2],
+                [0.0, fov2focal(2 * np.arctan(cam.tanfovy), H), H / 2],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        frames.append(
+            {
+                "rgb_path": name,
+                "camtoworld": np.linalg.inv(w2c).tolist(),
+                "intrinsics": K.tolist(),
+            }
+        )
+        print(f"view {i}: mean {img.mean():.4f} max {img.max():.3f}", flush=True)
+
+    with open(os.path.join(args.out, "meta_data.json"), "w") as f:
+        json.dump({"height": H, "width": W, "frames": frames}, f)
+    # ground-truth primitives for post-train evaluation
+    gt = {
+        "curves_ctl_pts": cp[is_bez].reshape(-1, 12).tolist(),
+        "lines_end_pts": cp[~is_bez][:, [0, 3], :].reshape(-1, 6).tolist(),
+    }
+    with open(os.path.join(args.out, "gt_edges.json"), "w") as f:
+        json.dump(gt, f)
+    print(f"wrote {args.views} views @ {W}x{H} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

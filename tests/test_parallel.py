@@ -65,6 +65,81 @@ def test_parallel_matches_single_device():
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
 
 
+def test_parallel_scan_matches_single_device_trajectory():
+    """A K-step, B-view/step chunk on the 8-device mesh must reproduce the
+    single-device same-effective-batch trajectory (loss sequence + params)."""
+    K, B = 3, 8
+    cams, gts, state = _problem(B)
+    opt_cfg = OptimizationConfig()
+    pipe_cfg = PipelineConfig(tile_capacity=256)
+    geom = (cams[0].height, cams[0].width, cams[0].tanfovx, cams[0].tanfovy)
+    w2c = jnp.stack([c.world_to_cam for c in cams])
+    proj = jnp.stack([c.full_proj for c in cams])
+    ctr = jnp.stack([c.cam_center for c in cams])
+    gt = jnp.stack(gts)
+    vi = (jnp.arange(K * B, dtype=jnp.int32).reshape(K, B) * 3) % B
+    results = []
+    for ndev in (1, 8):
+        ts = T.init_train_state(jax.tree.map(jnp.copy, state))
+        ts2, metrics = ps.parallel_train_steps_scan(
+            ts,
+            (w2c[vi], proj[vi], ctr[vi]),
+            gt[vi.reshape(-1)].reshape(K, B, *gt.shape[1:]),
+            jnp.zeros(()),
+            opt_cfg,
+            pipe_cfg,
+            use_mask=False,
+            mesh_shape=(("data", ndev),),
+            cam_geom=geom,
+        )
+        assert int(ts2.step) == K
+        results.append(
+            (np.asarray(metrics["total"]), np.asarray(ts2.params["curve_points"]))
+        )
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
+
+
+def test_train_scene_views_per_step(tmp_path):
+    """Driver-level integration: train_scene on the parallel path (B views
+    per optimizer step over the virtual mesh) runs the full schedule."""
+    import dataclasses as dc
+
+    from curve_gaussian_tpu.config import ModelConfig
+    from curve_gaussian_tpu.data import synthetic
+    from curve_gaussian_tpu.engine.loop import train_scene
+
+    scene = synthetic.make_scene(
+        seed=1, n_curves=2, n_lines=1, n_views=8, height=32, width=128,
+        capacity=64,
+    )
+    opt = dc.replace(
+        OptimizationConfig(),
+        iterations=8,
+        densify_from_iter=2,
+        densify_until_iter=4,
+        conn_from_iter=4,
+        densification_interval=2,
+        split_interval=4,
+        merge_interval=4,
+        prune_trim_interval=4,
+    )
+    res = train_scene(
+        scene.cameras,
+        scene.edge_maps,
+        scene.curves.mean(axis=1).astype(np.float32),
+        ModelConfig(n_gaussians=8),
+        opt,
+        PipelineConfig(tile_capacity=64),
+        str(tmp_path / "dp"),
+        quiet=True,
+        scan_chunk=4,
+        views_per_step=4,
+        n_devices=4,
+    )
+    assert int(res.ts.step) == 8
+
+
 def test_tile_parallel_render_matches_single():
     cams, gts, state = _problem(1, height=64, width=256)
     ts = T.init_train_state(state)

@@ -1,0 +1,148 @@
+"""Round-2 driver fixes: conn_from_iter gating, checkpoint schema,
+overflow policy."""
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curve_gaussian_tpu.config import (
+    ModelConfig,
+    OptimizationConfig,
+    PipelineConfig,
+)
+from curve_gaussian_tpu.data import synthetic
+from curve_gaussian_tpu.engine import checkpoint as C
+from curve_gaussian_tpu.engine import train as T
+from curve_gaussian_tpu.engine.loop import train_scene
+from curve_gaussian_tpu.models import curve_state as cs
+
+
+def _tiny():
+    import __graft_entry__ as ge
+
+    cams, gts, state = ge._tiny_problem(2)
+    return cams, gts, T.init_train_state(state)
+
+
+def test_conn_on_gates_connectivity_term():
+    cams, gts, ts = _tiny()
+    opt = OptimizationConfig()
+    pipe = dataclasses.replace(PipelineConfig(), tile_capacity=256)
+    args = (cams[0], gts[0], jnp.zeros(()), opt, pipe)
+    _, m_off = T.train_step(ts, *args, use_mask=False, n_gaussians=8,
+                            conn_on=False)
+    cams, gts, ts = _tiny()
+    _, m_on = T.train_step(ts, *args, use_mask=False, n_gaussians=8,
+                           conn_on=True)
+    assert "curve_conn" not in m_off
+    assert "curve_conn" in m_on
+    # conn term active while the mask term is still off (the decoupling the
+    # reference expresses with two separate iteration thresholds)
+    assert "mask" not in m_on
+
+
+def test_conn_from_iter_honored_in_loop(tmp_path):
+    """Sweeping conn_from_iter changes WHEN curve_conn appears in metrics."""
+    scene = synthetic.make_scene(
+        seed=3, n_curves=2, n_lines=0, n_views=2, height=32, width=128,
+        capacity=64,
+    )
+    seed_pts = scene.curves.mean(axis=1).astype(np.float32)
+
+    def run(conn_from):
+        opt = dataclasses.replace(
+            OptimizationConfig(),
+            iterations=12,
+            densify_from_iter=100,
+            densify_until_iter=100,  # mask path never activates
+            conn_from_iter=conn_from,
+            split_interval=1000,
+            merge_interval=1000,
+            prune_trim_interval=1000,
+        )
+        pipe = dataclasses.replace(PipelineConfig(), tile_capacity=64)
+        out = str(tmp_path / f"conn{conn_from}")
+        train_scene(
+            scene.cameras, scene.edge_maps, seed_pts,
+            ModelConfig(n_gaussians=8), opt, pipe, out,
+            quiet=True, scan_chunk=4, log_every=1,
+        )
+        rows = [json.loads(l) for l in open(out + "/metrics.jsonl")]
+        return {r["iter"]: ("curve_conn" in r) for r in rows if "total" in r}
+
+    has_conn = run(6)
+    assert has_conn[6] is False  # iter == conn_from_iter: off (strict >)
+    assert has_conn[7] is True  # first active iteration
+    assert all(has_conn[i] is False for i in range(1, 7))
+    assert all(has_conn[i] is True for i in range(7, 13))
+
+
+def test_checkpoint_schema_metadata(tmp_path):
+    _, _, ts = _tiny()
+    path = str(tmp_path / "ck.npz")
+    C.save_checkpoint(path, ts)
+    data = np.load(path)
+    assert "params/curve_points" in data.files
+    assert "opt/mu/curve_points" in data.files
+    cap, step = C.checkpoint_capacity(path)
+    assert cap == ts.alive.shape[0]
+    assert step == int(ts.step)
+
+
+def test_checkpoint_old_format_rejected(tmp_path):
+    path = str(tmp_path / "old.npz")
+    np.savez(path, leaf_0=np.zeros((4, 4, 3)), n_leaves=1)
+    _, _, ts = _tiny()
+    with pytest.raises(ValueError, match="schema"):
+        C.load_checkpoint(path, ts)
+    with pytest.raises(ValueError, match="schema"):
+        C.checkpoint_capacity(path)
+
+
+def _overflow_scene():
+    # many overlapping curves + tiny tile capacity => binning overflow
+    scene = synthetic.make_scene(
+        seed=0, n_curves=4, n_lines=0, n_views=2, height=16, width=128,
+        capacity=64,
+    )
+    return scene, scene.curves.mean(axis=1).astype(np.float32)
+
+
+def _overflow_opt():
+    return dataclasses.replace(
+        OptimizationConfig(),
+        iterations=4,
+        densify_from_iter=100,
+        densify_until_iter=100,
+        conn_from_iter=100,
+    )
+
+
+def test_overflow_policy_grow(tmp_path):
+    scene, seed_pts = _overflow_scene()
+    pipe = dataclasses.replace(
+        PipelineConfig(), tile_capacity=8, overflow_policy="grow",
+        max_tile_capacity=64,
+    )
+    res = train_scene(
+        scene.cameras, scene.edge_maps, seed_pts, ModelConfig(n_gaussians=8),
+        _overflow_opt(), pipe, str(tmp_path / "grow"),
+        quiet=True, scan_chunk=1,
+    )
+    assert res.pipe_cfg.tile_capacity > 8  # grew in response to overflow
+
+
+def test_overflow_policy_raise(tmp_path):
+    scene, seed_pts = _overflow_scene()
+    pipe = dataclasses.replace(
+        PipelineConfig(), tile_capacity=8, overflow_policy="raise"
+    )
+    with pytest.raises(RuntimeError, match="overflow"):
+        train_scene(
+            scene.cameras, scene.edge_maps, seed_pts,
+            ModelConfig(n_gaussians=8),
+            _overflow_opt(), pipe, str(tmp_path / "raise"),
+            quiet=True, scan_chunk=1,
+        )

@@ -35,6 +35,12 @@ def main():
     p.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
     p.add_argument("--tile-capacity", type=int, default=1024)
     p.add_argument("--n-gaussians", type=int, default=12)
+    p.add_argument("--scan-chunk", type=int, default=100,
+                   help="training steps fused per dispatch (one compile)")
+    p.add_argument("--views-per-step", type=int, default=1,
+                   help="views per optimizer step, data-parallel over chips")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="cap on devices for the data-parallel mesh")
     # synthetic-scene mode
     p.add_argument("--synthetic", action="store_true",
                    help="train on a generated synthetic curve scene")
@@ -164,6 +170,9 @@ def main():
         start_checkpoint=args.start_checkpoint,
         quiet=args.quiet,
         seed=args.seed,
+        views_per_step=args.views_per_step,
+        n_devices=args.n_devices,
+        scan_chunk=args.scan_chunk,
     )
 
     if gt_scene is not None:
