@@ -1,0 +1,79 @@
+"""Sort-based vs pairs-based binning: the two constructions are
+independent implementations of the same spec and must agree exactly."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from curve_gaussian_tpu.ops import binning as B
+from curve_gaussian_tpu.ops.camera import look_at_camera
+from curve_gaussian_tpu.ops.projection import preprocess
+
+
+def _pre(rng, n=400, big_fraction=0.0, cam=None):
+    cam = cam or look_at_camera(
+        eye=[0.0, 0.3, -2.0], target=[0.0, 0.0, 0.0], height=64, width=256
+    )
+    xyz = rng.uniform(-0.4, 0.4, size=(n, 3)).astype(np.float32)
+    scale = np.full((n, 3), 0.01, np.float32)
+    scale[:, 0] = rng.uniform(0.005, 0.05, size=n)
+    if big_fraction:
+        nb = int(n * big_fraction)
+        scale[:nb] = rng.uniform(0.1, 0.4, size=(nb, 3))  # huge fuzzy splats
+    quat = rng.normal(size=(n, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    opacity = rng.uniform(0.3, 0.9, size=n).astype(np.float32)
+    return (
+        preprocess(
+            jnp.asarray(xyz), jnp.asarray(scale), jnp.asarray(quat),
+            jnp.asarray(opacity), cam,
+        ),
+        cam,
+    )
+
+
+def _tables(b: B.Binning):
+    idx = np.asarray(b.gather_idx).copy()
+    idx[~np.asarray(b.slot_valid)] = -1
+    return idx
+
+
+@pytest.mark.parametrize("big_fraction", [0.0, 0.15])
+def test_methods_agree_exactly(rng, big_fraction):
+    pre, cam = _pre(rng, big_fraction=big_fraction)
+    kw = dict(height=cam.height, width=cam.width, capacity=512)
+    bs = B.bin_gaussians(pre, method="sort", **kw)
+    bp = B.bin_gaussians(pre, method="pairs", **kw)
+    np.testing.assert_array_equal(np.asarray(bs.counts), np.asarray(bp.counts))
+    np.testing.assert_array_equal(_tables(bs), _tables(bp))
+    assert int(bs.overflow) == 0 and int(bp.overflow) == 0
+
+
+def test_big_tier_covers_large_rects(rng):
+    """Splats spanning more than tier1_rect tiles keep full coverage via
+    the big tier (same tables as the exhaustive pairs method)."""
+    pre, cam = _pre(rng, n=64, big_fraction=0.5)
+    kw = dict(height=cam.height, width=cam.width, capacity=512)
+    bs = B.bin_gaussians(pre, method="sort", tier1_rect=2, **kw)
+    bp = B.bin_gaussians(pre, method="pairs", **kw)
+    np.testing.assert_array_equal(_tables(bs), _tables(bp))
+
+
+def test_big_tier_budget_overflow_reported(rng):
+    """More big-rect splats than big_capacity => coverage drop REPORTED."""
+    pre, cam = _pre(rng, n=256, big_fraction=1.0)
+    bs = B.bin_gaussians(
+        pre, height=cam.height, width=cam.width, capacity=512,
+        tier1_rect=1, big_capacity=8,
+    )
+    assert int(bs.overflow) > 0
+
+
+def test_depth_order_within_tiles(rng):
+    pre, cam = _pre(rng)
+    b = B.bin_gaussians(pre, height=cam.height, width=cam.width, capacity=512)
+    depth = np.asarray(pre.depth)
+    idx = np.asarray(b.gather_idx)
+    valid = np.asarray(b.slot_valid)
+    for t in range(idx.shape[0]):
+        d = depth[idx[t][valid[t]]]
+        assert np.all(np.diff(d) >= 0)
