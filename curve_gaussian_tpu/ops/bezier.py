@@ -20,7 +20,11 @@ Semantics re-derived from the reference implementation
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .quaternion import rotmat_to_quat
 
@@ -121,6 +125,42 @@ def tangent_frame(tangent: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     return jnp.stack([v0, v1, v2], axis=-1)
 
 
+def _elevate_lines(cp: jnp.ndarray, is_bezier: jnp.ndarray) -> jnp.ndarray:
+    """Replace line rows by their EXACT cubic representation (degree
+    elevation: p1 = p0 + (p3-p0)/3, p2 = p0 + 2(p3-p0)/3), so one Bézier
+    basis evaluates both primitive kinds.  Line storage only defines rows
+    0 and 3 (rows 1-2 may hold stale data) — elevation ignores them, same
+    as the reference's line_point (gaussian_curve_model.py:70-78)."""
+    p0, p3 = cp[:, 0], cp[:, 3]
+    d = (p3 - p0) / 3.0
+    cp_lin = jnp.stack([p0, p0 + d, p0 + 2.0 * d, p3], axis=1)
+    return jnp.where(is_bezier[:, None, None], cp, cp_lin)
+
+
+@functools.lru_cache(maxsize=None)
+def _bases(m: int):
+    """(position, half-step-back position, tangent) bases, each [3M, 12]
+    with the component identity kroneckered in, as numpy constants."""
+    t = (np.arange(m, dtype=np.float64) + 0.5) / m
+
+    def pos(tv):
+        u = 1.0 - tv
+        return np.stack([u**3, 3 * u**2 * tv, 3 * u * tv**2, tv**3], axis=-1)
+
+    def tan(tv):
+        u = 1.0 - tv
+        return np.stack(
+            [-3 * u**2, 3 * u**2 - 6 * u * tv, 6 * u * tv - 3 * tv**2, 3 * tv**2],
+            axis=-1,
+        )
+
+    eye = np.eye(3)
+    return tuple(
+        np.kron(b, eye).astype(np.float32)
+        for b in (pos(t), pos(t - 0.5 / m), tan(t))
+    )
+
+
 def curve_gaussians(
     cp: jnp.ndarray,
     width: jnp.ndarray,
@@ -138,17 +178,52 @@ def curve_gaussians(
       quat  [N, M, 4]   unit quaternion, first axis = tangent
       scale [N, M, 3]   (arc spacing, width, width)
       tangent [N, M, 3] unnormalized curve tangent at sample t
-    Mirrors gaussian_curve_model.py:180-198 (see module docstring re: frame).
-    """
-    t = sample_t_midpoints(n_gaussians, dtype=cp.dtype)
-    xyz = curve_point(cp, t, is_bezier)
-    xyz_back = curve_point(cp, t - 0.5 / n_gaussians, is_bezier)
-    s0 = safe_norm(xyz - xyz_back, axis=-1)  # [N, M]
-    tangent = curve_tangent(cp, t, is_bezier)  # [N, M, 3]
-    rot = tangent_frame(tangent, eps)  # [N, M, 3, 3]
-    quat = rotmat_to_quat(rot)  # [N, M, 4]
-    s12 = jnp.broadcast_to(width[..., None], s0.shape)
-    scale = jnp.stack([s0, s12, s12], axis=-1)  # [N, M, 3]
+    Mirrors gaussian_curve_model.py:180-198.
+
+    TPU layout note: [N, M, 3] tensors pad their tiny trailing dims onto
+    (8, 128) vector tiles (~40x lane waste), which made the naive
+    formulation the single most expensive stage of a training step
+    (~4.9 ms).  This path therefore works in TRANSPOSED component form —
+    curve evaluation as one [3M, 12] @ [12, N] basis matmul per quantity
+    (N dense on lanes, MXU) and all frame math on [M, N] component arrays
+    — and transposes to the conventional layout only at the output.
+
+    Frame note: because s1 == s2, the covariance R diag(s0,s1,s1)^2 R^T
+    depends only on the tangent axis (module docstring), so the quaternion
+    here is the MINIMAL rotation taking e_x to the tangent — cheaper than
+    the reference's cross-product frame + pytorch3d rotmat->quat chain and
+    exactly equivalent for rendering (first axis identical)."""
+    N = cp.shape[0]
+    m = n_gaussians
+    Bp, Bb, Bt = (jnp.asarray(b) for b in _bases(m))
+    cpT = _elevate_lines(cp, is_bezier).transpose(1, 2, 0).reshape(12, N)
+    hp = jax.lax.Precision.HIGHEST
+    xyz3 = jnp.matmul(Bp, cpT, precision=hp).reshape(m, 3, N)
+    back3 = jnp.matmul(Bb, cpT, precision=hp).reshape(m, 3, N)
+    tan3 = jnp.matmul(Bt, cpT, precision=hp).reshape(m, 3, N)
+
+    d = xyz3 - back3
+    s0 = safe_norm(d, axis=1)  # [M, N]
+
+    tn = safe_norm(tan3, axis=1)  # [M, N]
+    tnz = jnp.where(tn > 0, tn, 1.0)
+    v0x, v0y, v0z = tan3[:, 0] / tnz, tan3[:, 1] / tnz, tan3[:, 2] / tnz
+    # minimal rotation e_x -> v0: q ~ (1 + v0x, 0, -v0z, v0y); the v0x ~ -1
+    # pole falls back to a half-turn about y (also maps e_x -> -e_x)
+    w = 1.0 + v0x
+    qn_sq = w * w + v0z * v0z + v0y * v0y
+    ok = qn_sq > eps
+    qn = jnp.where(ok, jnp.sqrt(jnp.where(ok, qn_sq, 1.0)), 1.0)
+    qw = jnp.where(ok, w / qn, 0.0)
+    qy = jnp.where(ok, -v0z / qn, 1.0)
+    qz = jnp.where(ok, v0y / qn, 0.0)
+    qx = jnp.zeros_like(qw)
+
+    xyz = xyz3.transpose(2, 0, 1)  # [N, M, 3]
+    tangent = tan3.transpose(2, 0, 1)
+    quat = jnp.stack([qw, qx, qy, qz], axis=-1).transpose(1, 0, 2)  # [N, M, 4]
+    s12 = jnp.broadcast_to(width[:, None], (N, m))
+    scale = jnp.stack([s0.T, s12, s12], axis=-1)  # [N, M, 3]
     return {"xyz": xyz, "quat": quat, "scale": scale, "tangent": tangent}
 
 
