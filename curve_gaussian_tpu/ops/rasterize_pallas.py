@@ -42,9 +42,22 @@ from .binning import TILE_H, TILE_W, Binning
 from .projection import Preprocessed
 from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
-NF = 16  # payload fields (12 used, padded)
-F_MX, F_MY, F_CA, F_CB, F_CC, F_OPA, F_EX, F_EY = 0, 1, 2, 3, 4, 5, 6, 7
-F_COL, F_INVD, F_AM0 = 8, 9, 10  # allmap occupies 10..13
+def field_layout(geo: bool, invd: bool, ones: bool):
+    """Payload lane layout for a channel configuration.
+
+    The training path (ones color, no allmap/invdepth) needs only the 8
+    geometry fields, halving payload-gather and gradient-table volume vs
+    the full 14-field render layout.  NF is padded to a multiple of 8.
+    """
+    names = ["mx", "my", "ca", "cb", "cc", "opa", "ex", "ey"]
+    if not ones:
+        names.append("col")
+    if invd:
+        names.append("invd")
+    if geo:
+        names += ["am0", "am1", "am2", "am3"]
+    nf = -(-len(names) // 8) * 8
+    return {n: i for i, n in enumerate(names)}, nf
 
 # instance group sizes: forward carries only (T, act, C...) tiles, so a wide
 # group amortizes the liveness check (measured 6.0 -> 3.4 ms at 85k
@@ -64,37 +77,41 @@ def build_payload(
     color: jnp.ndarray,
     allmap: jnp.ndarray,
     binning: Binning,
+    geo: bool = True,
+    invd: bool = True,
+    ones: bool = False,
 ) -> jnp.ndarray:
     """Gather per-Gaussian fields into the [T, K, NF] per-tile table.
 
     Pure jnp: its autodiff transpose is exactly the deterministic
-    segment-sum of per-instance gradients back to Gaussians.
+    segment-sum of per-instance gradients back to Gaussians.  The field
+    set matches field_layout(geo, invd, ones).
     """
     idx = binning.gather_idx  # [T, K]
     ok = binning.slot_valid
-    fields = jnp.stack(
-        [
-            pre.mean2d[:, 0],
-            pre.mean2d[:, 1],
-            pre.conic[:, 0],
-            pre.conic[:, 1],
-            pre.conic[:, 2],
-            pre.opacity,
-            pre.extent[:, 0],
-            pre.extent[:, 1],
-            color,
-            # guard: culled rows may sit at arbitrary depth; 1/0 -> inf would
-            # turn the zero cotangent into NaN in the gather transpose
-            jnp.where(pre.valid, 1.0 / jnp.where(pre.valid, pre.depth, 1.0), 0.0),
-            allmap[:, 0],
-            allmap[:, 1],
-            allmap[:, 2],
-            allmap[:, 3],
-            jnp.zeros_like(color),
-            jnp.zeros_like(color),
-        ],
-        axis=-1,
-    )  # [P, NF]
+    L, nf = field_layout(geo, invd, ones)
+    cols = [
+        pre.mean2d[:, 0],
+        pre.mean2d[:, 1],
+        pre.conic[:, 0],
+        pre.conic[:, 1],
+        pre.conic[:, 2],
+        pre.opacity,
+        pre.extent[:, 0],
+        pre.extent[:, 1],
+    ]
+    if "col" in L:
+        cols.append(color)
+    if "invd" in L:
+        # guard: culled rows may sit at arbitrary depth; 1/0 -> inf would
+        # turn the zero cotangent into NaN in the gather transpose
+        cols.append(
+            jnp.where(pre.valid, 1.0 / jnp.where(pre.valid, pre.depth, 1.0), 0.0)
+        )
+    if "am0" in L:
+        cols += [allmap[:, 0], allmap[:, 1], allmap[:, 2], allmap[:, 3]]
+    cols += [jnp.zeros_like(color)] * (nf - len(cols))
+    fields = jnp.stack(cols, axis=-1)  # [P, NF]
     payload = fields[idx]  # [T, K, NF]
     return jnp.where(ok[..., None], payload, 0.0)
 
@@ -122,19 +139,20 @@ def _f(payload_ref, j, f: int):
     return payload_ref[0, j, f]
 
 
-def _channel_fields(geo: bool, invd: bool):
-    """Accumulated payload channels: color always; invdepth/allmap optional."""
-    chans = [F_COL]
+def _channels(geo: bool, invd: bool):
+    """Accumulated channel names: color always; invdepth/allmap optional."""
+    chans = ["col"]
     if invd:
-        chans.append(F_INVD)
+        chans.append("invd")
     if geo:
-        chans.extend(F_AM0 + i for i in range(4))
+        chans.extend(f"am{i}" for i in range(4))
     return chans
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fwd_kernel(geo: bool, invd: bool, ones: bool):
-    chans = _channel_fields(geo, invd)
+    chans = _channels(geo, invd)
+    L, _ = field_layout(geo, invd, ones)
     nch = len(chans)
 
     def kernel(counts_ref, bg_ref, payload_ref, col_ref, invd_ref, t_ref, am_ref):
@@ -147,17 +165,17 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool):
             # act is carried as f32 (Mosaic cannot carry i1 vectors in loops)
             T, act, accs = st
             act_b = act > 0.5
-            dx = _f(payload_ref, j, F_MX) - px
-            dy = _f(payload_ref, j, F_MY) - py
-            ca = _f(payload_ref, j, F_CA)
-            cb = _f(payload_ref, j, F_CB)
-            cc = _f(payload_ref, j, F_CC)
-            inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
-                jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+            dx = _f(payload_ref, j, L["mx"]) - px
+            dy = _f(payload_ref, j, L["my"]) - py
+            ca = _f(payload_ref, j, L["ca"])
+            cb = _f(payload_ref, j, L["cb"])
+            cc = _f(payload_ref, j, L["cc"])
+            inside = (jnp.abs(dx) <= _f(payload_ref, j, L["ex"])) & (
+                jnp.abs(dy) <= _f(payload_ref, j, L["ey"])
             )
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             alpha = jnp.minimum(
-                ALPHA_MAX, _f(payload_ref, j, F_OPA) * jnp.exp(power)
+                ALPHA_MAX, _f(payload_ref, j, L["opa"]) * jnp.exp(power)
             )
             cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
             test_T = jnp.where(cand, T * (1.0 - alpha), T)
@@ -165,8 +183,13 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool):
             contrib = cand & (~newly_done) & act_b
             w = jnp.where(contrib, alpha * T, zero)
             accs = tuple(
-                acc + (w if (ones and f == F_COL) else _f(payload_ref, j, f) * w)
-                for acc, f in zip(accs, chans)
+                acc
+                + (
+                    w
+                    if (ones and ch == "col")
+                    else _f(payload_ref, j, L[ch]) * w
+                )
+                for acc, ch in zip(accs, chans)
             )
             T = jnp.where(contrib, test_T, T)
             act = jnp.where(newly_done, zero, act)
@@ -186,19 +209,20 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool):
         _, (T, _, accs) = jax.lax.while_loop(
             group_cond, group_body, (jnp.int32(0), init)
         )
-        by_field = dict(zip(chans, accs))
-        col_ref[:, :] = by_field[F_COL] + T * bg_ref[0]
-        invd_ref[:, :] = by_field.get(F_INVD, zero)
+        by_ch = dict(zip(chans, accs))
+        col_ref[:, :] = by_ch["col"] + T * bg_ref[0]
+        invd_ref[:, :] = by_ch.get("invd", zero)
         t_ref[:, :] = T
         for i in range(4):
-            am_ref[i, :, :] = by_field.get(F_AM0 + i, zero)
+            am_ref[i, :, :] = by_ch.get(f"am{i}", zero)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
 def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
-    chans = _channel_fields(geo, invd)
+    chans = _channels(geo, invd)
+    L, NF = field_layout(geo, invd, ones)
 
     def kernel(
         counts_ref,
@@ -222,16 +246,16 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
 
         outt = outt_ref[:, :]
         gt = gt_ref[:, :]
-        # per-channel (upstream grad, final output) keyed by payload field
-        gch = {F_COL: gc_ref[:, :]}
-        och = {F_COL: outc_ref[:, :]}
+        # per-channel (upstream grad, final output) keyed by channel name
+        gch = {"col": gc_ref[:, :]}
+        och = {"col": outc_ref[:, :]}
         if invd:
-            gch[F_INVD] = gd_ref[:, :]
-            och[F_INVD] = outd_ref[:, :]
+            gch["invd"] = gd_ref[:, :]
+            och["invd"] = outd_ref[:, :]
         if geo:
             for i in range(4):
-                gch[F_AM0 + i] = gam_ref[i, :, :]
-                och[F_AM0 + i] = outam_ref[i, :, :]
+                gch[f"am{i}"] = gam_ref[i, :, :]
+                och[f"am{i}"] = outam_ref[i, :, :]
 
         # gradient accumulation strategy: the 6+nch per-instance gradients
         # are reductions over the (8,128) pixel tile.  Full reductions per
@@ -241,7 +265,10 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
         # after each 8-instance group ONE lane reduction per gradient
         # finishes all 8 instances at once.  (Mosaic has no scalar VMEM
         # stores / both-dim broadcasts, hence the iota-mask row selects.)
-        NG = 6 + len(chans)  # mx,my,ca,cb,cc,opa + channel grads
+        # channel-value grads parked back to payload lanes; the all-ones
+        # color carries no payload lane (and its grad is discarded upstream)
+        grad_chans = [ch for ch in chans if not (ones and ch == "col")]
+        NG = 6 + len(grad_chans)  # mx,my,ca,cb,cc,opa + channel grads
         sub8 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, TILE_W), 0)
         zbuf = jnp.zeros((_CHUNK, TILE_W), fdt)
 
@@ -251,7 +278,9 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
 
         lane16 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
         zrow = jnp.zeros((_CHUNK, NF), fdt)
-        grad_fields = [F_MX, F_MY, F_CA, F_CB, F_CC, F_OPA] + chans
+        grad_fields = [
+            L["mx"], L["my"], L["ca"], L["cb"], L["cc"], L["opa"]
+        ] + [L[ch] for ch in grad_chans]
 
         def finish_group(bufs):
             rows = zrow
@@ -263,20 +292,20 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
         def blend(j, i, st):
             T, act, prefixes, bufs = st
             act_b = act > 0.5
-            mxv = _f(payload_ref, j, F_MX)
-            myv = _f(payload_ref, j, F_MY)
-            ca = _f(payload_ref, j, F_CA)
-            cb = _f(payload_ref, j, F_CB)
-            cc = _f(payload_ref, j, F_CC)
-            opa = _f(payload_ref, j, F_OPA)
+            mxv = _f(payload_ref, j, L["mx"])
+            myv = _f(payload_ref, j, L["my"])
+            ca = _f(payload_ref, j, L["ca"])
+            cb = _f(payload_ref, j, L["cb"])
+            cc = _f(payload_ref, j, L["cc"])
+            opa = _f(payload_ref, j, L["opa"])
             chvals = {
-                f: (1.0 if (ones and f == F_COL) else _f(payload_ref, j, f))
-                for f in chans
+                ch: (1.0 if (ones and ch == "col") else _f(payload_ref, j, L[ch]))
+                for ch in chans
             }
             dx = mxv - px
             dy = myv - py
-            inside = (jnp.abs(dx) <= _f(payload_ref, j, F_EX)) & (
-                jnp.abs(dy) <= _f(payload_ref, j, F_EY)
+            inside = (jnp.abs(dx) <= _f(payload_ref, j, L["ex"])) & (
+                jnp.abs(dy) <= _f(payload_ref, j, L["ey"])
             )
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             G = jnp.exp(power)
@@ -289,15 +318,15 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
             w = jnp.where(contrib, alpha * T, zero)
 
             prefixes = tuple(
-                A + chvals[f] * w for A, f in zip(prefixes, chans)
+                A + chvals[ch] * w for A, ch in zip(prefixes, chans)
             )
-            by_field = dict(zip(chans, prefixes))
+            by_ch = dict(zip(chans, prefixes))
 
             inv1a = 1.0 / (1.0 - alpha)
             g_alpha = gt * (-outt * inv1a)
-            for f in chans:
-                g_alpha += gch[f] * (
-                    chvals[f] * T - (och[f] - by_field[f]) * inv1a
+            for ch in chans:
+                g_alpha += gch[ch] * (
+                    chvals[ch] * T - (och[ch] - by_ch[ch]) * inv1a
                 )
             g_alpha = jnp.where(contrib, g_alpha, zero)
 
@@ -309,7 +338,7 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
                 d_power * (-dx * dy),
                 d_power * (-0.5 * dy * dy),
                 g_alpha * G,
-            ] + [gch[f] * w for f in chans]
+            ] + [gch[ch] * w for ch in grad_chans]
             bufs = tuple(park(buf, i, v) for buf, v in zip(bufs, vals))
 
             T = jnp.where(contrib, test_T, T)
@@ -365,6 +394,7 @@ def _tile_blend_fwd(payload, counts, nty: int, ntx: int,
                     geo: bool = True, invd: bool = True, ones: bool = False,
                     bg=None):
     K = payload.shape[1]
+    NF = payload.shape[2]
     Hp, Wp = nty * TILE_H, ntx * TILE_W
     dt = payload.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -401,6 +431,7 @@ def _tile_blend_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
     col, invd_img, finT, am = out
     gc, gd, gtt, gam = g
     K = payload.shape[1]
+    NF = payload.shape[2]
     dt = payload.dtype
     T = payload.shape[0]
     img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j))

@@ -103,7 +103,10 @@ def render(
         overflow = jnp.int32(0)
     else:
         binning = bin_gaussians(pre, H, W, capacity=capacity)
-        payload = build_payload(pre, color, allmap, binning)
+        payload = build_payload(
+            pre, color, allmap, binning,
+            geo=render_geo, invd=compute_invdepth, ones=color_ones,
+        )
         nty, ntx = tile_grid(H, W)
         img_p, invd_p, finT_p, am_p = tile_blend(
             payload, binning.counts, nty, ntx,

@@ -403,7 +403,9 @@ def tile_parallel_render(
         binning = bin_gaussians(
             local_pre, rows_per_dev, W, capacity=pipe_cfg.tile_capacity
         )
-        payload = build_payload(local_pre, color, allmap, binning)
+        payload = build_payload(
+            local_pre, color, allmap, binning, geo=True, invd=True, ones=True
+        )
         nty, ntx = tile_grid(rows_per_dev, W)
         img, _, _, _ = tile_blend(payload, binning.counts, nty, ntx, True, True, True, bg_arr)
         return img[None, :rows_per_dev, :W]
