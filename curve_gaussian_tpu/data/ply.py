@@ -125,3 +125,45 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
             np.float32
         )
     return out
+
+
+def write_ply_mesh(
+    path: str,
+    vertices: np.ndarray,  # [V, 3]
+    faces: np.ndarray,  # [F, 3] int
+    colors: Optional[np.ndarray] = None,  # per-vertex, float [0,1] or uint8
+) -> None:
+    """Binary triangle-mesh PLY (vertex colors optional)."""
+    n, nf = len(vertices), len(faces)
+    props = ["property float x", "property float y", "property float z"]
+    cols = None
+    if colors is not None:
+        cols = colors
+        if cols.dtype != np.uint8:
+            cols = np.clip(cols * 255.0, 0, 255).astype(np.uint8)
+        props += [
+            "property uchar red",
+            "property uchar green",
+            "property uchar blue",
+        ]
+    header = (
+        f"ply\nformat binary_little_endian 1.0\nelement vertex {n}\n"
+        + "\n".join(props)
+        + f"\nelement face {nf}\nproperty list uchar int vertex_indices\n"
+        + "end_header\n"
+    )
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if cols is not None:
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    rec = np.empty(n, dtype=fields)
+    pts = np.asarray(vertices, "<f4")
+    rec["x"], rec["y"], rec["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+    if cols is not None:
+        rec["red"], rec["green"], rec["blue"] = cols[:, 0], cols[:, 1], cols[:, 2]
+    frec = np.empty(nf, dtype=[("n", "u1"), ("idx", "<i4", (3,))])
+    frec["n"] = 3
+    frec["idx"] = np.asarray(faces, "<i4")
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(rec.tobytes())
+        f.write(frec.tobytes())

@@ -528,6 +528,18 @@ def save_model_artifacts(ts: TrainState, model_path: str, iteration: int):
         np.asarray(g["xyz"]),
         normals=np.asarray(g["tangent"]),
     )
+    # ellipsoid visualization mesh (reference draw_ellipsoids,
+    # gaussian_curve_model.py:633-709)
+    from ..models.ellipsoids import save_ellipsoid_mesh
+
+    save_ellipsoid_mesh(
+        os.path.join(out_dir, f"ellipsoids_step{iteration}.ply"),
+        np.asarray(g["xyz"]),
+        np.asarray(g["quat"]),
+        np.asarray(g["scale"]),
+        host.is_bezier,
+        1.0 / (1.0 + np.exp(-host.params["mask_raw"])),
+    )
     # 3DGS-format cloud for viewer interop (reference save_ply,
     # gaussian_model.py:383-400) + per-view exposure (scene/__init__.py:94-103)
     from ..models.gaussian_ply import save_gaussian_ply

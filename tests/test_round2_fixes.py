@@ -146,3 +146,30 @@ def test_overflow_policy_raise(tmp_path):
             _overflow_opt(), pipe, str(tmp_path / "raise"),
             quiet=True, scan_chunk=1,
         )
+
+
+def test_ellipsoid_mesh_export(tmp_path, rng):
+    from curve_gaussian_tpu.models.ellipsoids import save_ellipsoid_mesh, unit_sphere
+
+    v, f = unit_sphere(10)
+    assert v.shape[0] == 2 + 9 * 20 and f.min() == 0 and f.max() == len(v) - 1
+    # closed manifold: each edge shared by exactly 2 faces
+    edges = np.sort(f[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+
+    C, M = 3, 4
+    P = C * M
+    xyz = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    quat = rng.normal(size=(P, 4)).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    scale = np.abs(rng.normal(0.01, 0.002, (P, 3))).astype(np.float32)
+    path = str(tmp_path / "ellipsoids.ply")
+    save_ellipsoid_mesh(
+        path, xyz, quat, scale,
+        np.array([True, True, False]),
+        rng.uniform(0.02, 1.0, (C, M)).astype(np.float32),
+    )
+    head = open(path, "rb").read(300).decode("latin1")
+    assert f"element vertex {P * len(v)}" in head
+    assert f"element face {P * len(f)}" in head
