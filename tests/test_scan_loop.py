@@ -48,6 +48,37 @@ def test_scan_equals_stepwise(rng):
     assert int(ts_b.step) == K
 
 
+def test_scan_n_active_padding(rng):
+    """Padded steps (>= n_active) must be exact no-ops on the state."""
+    import __graft_entry__ as ge
+
+    cams, gts, state = ge._tiny_problem(2)
+    opt = OptimizationConfig()
+    pipe = dataclasses.replace(PipelineConfig(), tile_capacity=256)
+    bg = jnp.zeros(())
+    geom = (cams[0].height, cams[0].width, cams[0].tanfovx, cams[0].tanfovy)
+    order = [0, 1, 0, 1]  # K=4 padded, only first 2 active
+
+    ts_a = T.init_train_state(jax.tree.map(jnp.copy, state))
+    for i in order[:2]:
+        ts_a, _ = T.train_step(
+            ts_a, cams[i], gts[i], bg, opt, pipe, use_mask=False, n_gaussians=8
+        )
+
+    ts_b = T.init_train_state(jax.tree.map(jnp.copy, state))
+    w2c = jnp.stack([cams[i].world_to_cam for i in order])
+    proj = jnp.stack([cams[i].full_proj for i in order])
+    ctr = jnp.stack([cams[i].cam_center for i in order])
+    gtb = jnp.stack([gts[i] for i in order])
+    ts_b, m = T.train_steps_scan(
+        ts_b, (w2c, proj, ctr), gtb, bg, opt, pipe, use_mask=False,
+        n_gaussians=8, cam_geom=geom, n_active=jnp.asarray(2, jnp.int32),
+    )
+    assert int(ts_b.step) == 2  # step counter frozen on padded steps
+    for a, b in zip(jax.tree.leaves(ts_a), jax.tree.leaves(ts_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_replica_overlays(tmp_path, rng):
     import json
 
