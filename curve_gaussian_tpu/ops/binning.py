@@ -14,13 +14,13 @@ reference's key sort):
      pairs — a small fixed tier of R1 slots for everyone plus a compacted
      big-rect tier of R2 slots for the few Gaussians whose rect exceeds R1
      tiles (pair volume ~= live candidates, not capacity x P);
-  2. one `lax.sort_key_val` over int32 keys packing (tile << DBITS | depth
-     quantized to DBITS bits) — the analogue of the reference's 64-bit
-     [tileID | depth-bits] radix sort, sized to 32 bits because tile and
-     quantized depth both fit;
-  3. per-tile ranges recovered by a vectorized 21-step binary search over
-     the sorted keys (identifyTileRanges equivalent; jnp.searchsorted is
-     avoided — it lowers pathologically on TPU);
+  2. one 3-operand lexicographic `lax.sort` by (tile, view depth, original
+     index) — the analogue of the reference's 64-bit [tileID | depth-bits]
+     radix sort; the index key reproduces the oracle's stable tie-break
+     exactly, and a 3-key sort costs the same as a single-key sort on v5e;
+  3. per-tile ranges recovered by a vectorized binary search over the
+     sorted tile operand (identifyTileRanges equivalent; jnp.searchsorted
+     is avoided — it lowers pathologically on TPU);
   4. the [T, K] table is a contiguous gather from the sorted values.
   No scatters anywhere, no [T, P] dense grid, no separate depth argsort.
 
@@ -180,24 +180,6 @@ def _bin_sort(
 ):
     T = nty * ntx
     P = pre.mean2d.shape[0]
-    # key layout: tile * 2^pbits | depth RANK; sentinel tile T sorts last.
-    # The reference packs raw float depth bits into 64-bit keys
-    # (rasterizer_impl.cu:70-111); the rank gives the same total order in
-    # 32 bits with the exact stable tie-break of the reference oracle.
-    pbits = max((P - 1).bit_length(), 1)
-    if (T + 1) > (1 << (31 - pbits)):
-        raise ValueError(
-            f"tile grid ({T} tiles) x splat count ({P}) exceeds 32-bit sort "
-            "keys; increase tile size or split the image"
-        )
-    D = 1 << pbits
-    order = jnp.argsort(jnp.where(pre.valid, pre.depth, jnp.inf))
-    dq = (
-        jnp.zeros((P,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(P, dtype=jnp.int32), unique_indices=True)
-    )
-
     rect = _rect_fields(pre, nty, ntx, max_rect)
     tiles1, ok1 = _emit_pairs(pre, rect, T, ntx, tier1_rect)
 
@@ -227,26 +209,35 @@ def _bin_sort(
     tiles2, ok2 = _emit_pairs(pre_big, rect_big, T, ntx, max_rect)
     # tier1 already emitted slots [0, tier1_rect) for every Gaussian
     tiles2, ok2 = tiles2[:, tier1_rect:], ok2[:, tier1_rect:]
-    dq_big = take(dq)
 
+    # ONE lexicographic sort by (tile, view depth, original index) — the
+    # TPU analogue of the reference's 64-bit [tileID | depth-bits] radix
+    # sort (rasterizer_impl.cu:70-111).  The index as final key reproduces
+    # the oracle's stable-argsort tie-break exactly; a 3-operand lax.sort
+    # measures the same as a single-key sort_key_val on v5e (~1.4 ms at
+    # 245k), so no bit packing or precomputed depth ranks are needed.
     p_ids = jnp.arange(P, dtype=jnp.int32)
-    k1 = jnp.where(ok1, tiles1 * D + dq[:, None], T * D).reshape(-1)
+    t1 = jnp.where(ok1, tiles1, T).reshape(-1)
     v1 = jnp.broadcast_to(p_ids[:, None], ok1.shape).reshape(-1)
-    k2 = jnp.where(ok2, tiles2 * D + dq_big[:, None], T * D).reshape(-1)
+    t2 = jnp.where(ok2, tiles2, T).reshape(-1)
     v2 = jnp.broadcast_to(big_idx[:, None], ok2.shape).reshape(-1)
-    keys = jnp.concatenate([k1, k2])
+    tiles_flat = jnp.concatenate([t1, t2])
+    depth_all = jnp.where(pre.valid, pre.depth, jnp.inf)
+    d1 = jnp.broadcast_to(depth_all[:, None], ok1.shape).reshape(-1)
+    d2 = jnp.broadcast_to(take(depth_all)[:, None], ok2.shape).reshape(-1)
+    depth_flat = jnp.concatenate([d1, d2])
     vals = jnp.concatenate([v1, v2])
-    sk, sv = jax.lax.sort_key_val(keys, vals)
-    NP = sk.shape[0]
+    st, _, sv = jax.lax.sort((tiles_flat, depth_flat, vals), num_keys=3)
+    NP = st.shape[0]
 
-    # identifyTileRanges: starts[t] = lower_bound(sk, t*D), vectorized
+    # identifyTileRanges: starts[t] = lower_bound(st, t), vectorized
     # binary search (NOT jnp.searchsorted — pathological lowering on TPU)
-    tq = jnp.arange(T + 1, dtype=jnp.int32) * D
+    tq = jnp.arange(T + 1, dtype=jnp.int32)
     lo = jnp.zeros((T + 1,), jnp.int32)
     hi = jnp.full((T + 1,), NP, jnp.int32)
     for _ in range(max(NP.bit_length(), 1)):
         mid = (lo + hi) >> 1
-        go = sk[jnp.minimum(mid, NP - 1)] < tq
+        go = st[jnp.minimum(mid, NP - 1)] < tq
         lo = jnp.where(go, mid + 1, lo)
         hi = jnp.where(go, hi, mid)
     starts = lo
