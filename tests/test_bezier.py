@@ -168,3 +168,38 @@ def test_initialize_bezier_curves(rng):
     np.testing.assert_allclose(
         np.asarray(cp[:, 3]), np.asarray(pts) + [0, 0.1, 0], atol=1e-6
     )
+
+
+def test_minimal_rotation_frame_equivalent_covariance(rng):
+    """curve_gaussians' minimal-rotation quat must give the SAME Gaussian
+    covariance as the cross-product tangent frame (s1 == s2 makes every
+    orthonormal completion of the tangent axis equivalent), and its first
+    axis must be the normalized tangent."""
+    import jax.numpy as jnp
+
+    from curve_gaussian_tpu.data import synthetic
+    from curve_gaussian_tpu.ops import bezier
+    from curve_gaussian_tpu.ops.projection import build_cov3d
+    from curve_gaussian_tpu.ops.quaternion import quat_to_rotmat, rotmat_to_quat
+
+    cp, is_bez = synthetic.random_curves(rng, 20, 5)
+    width = jnp.asarray(rng.uniform(0.003, 0.02, size=cp.shape[0]), jnp.float32)
+    g = bezier.curve_gaussians(jnp.asarray(cp), width, jnp.asarray(is_bez), 8)
+    scale = g["scale"].reshape(-1, 3)
+    quat_new = g["quat"].reshape(-1, 4)
+    tangent = g["tangent"].reshape(-1, 3)
+
+    # first rotation axis == normalized tangent
+    R_new = quat_to_rotmat(quat_new)
+    np.testing.assert_allclose(
+        np.asarray(R_new[:, :, 0]),
+        np.asarray(bezier.safe_normalize(tangent)),
+        atol=1e-5,
+    )
+    # covariance identical to the cross-product-frame construction
+    quat_tf = rotmat_to_quat(bezier.tangent_frame(tangent))
+    cov_new = build_cov3d(scale, quat_new)
+    cov_tf = build_cov3d(scale, quat_tf)
+    np.testing.assert_allclose(
+        np.asarray(cov_new), np.asarray(cov_tf), atol=1e-7
+    )
