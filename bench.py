@@ -23,6 +23,54 @@ import time
 BASELINE_MPIX_S = 100.0
 
 
+def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
+    """Raster-only fwd+bwd (bin + payload + blend + grads to preprocessed
+    Gaussians) — the apples-to-apples cut against the reference's
+    renderCUDA fwd+bwd kernels that BASELINE_MPIX_S estimates."""
+    from curve_gaussian_tpu.models import curve_state as cs
+    from curve_gaussian_tpu.ops import binning as B
+    from curve_gaussian_tpu.ops.projection import preprocess
+    from curve_gaussian_tpu.ops.rasterize_pallas import build_payload, tile_blend
+
+    state_r = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
+    gsr = cs.gaussians(state_r)
+    cam0 = cams[0]
+    pre = jax.jit(
+        lambda: preprocess(
+            gsr["xyz"], gsr["scale"], gsr["quat"], gsr["opacity"], cam0,
+            alive=gsr["alive"],
+        )
+    )()
+    jax.block_until_ready(pre)
+    nty, ntx = B.tile_grid(H, W)
+    col = jnp.ones_like(gsr["opacity"])
+    amz = jnp.zeros((col.shape[0], 4), jnp.float32)
+    bgr = jnp.zeros(1)
+    gt0 = gts[0]
+
+    def raster_loss(m2):
+        p = pre._replace(mean2d=m2)
+        b = B.bin_gaussians(p, H, W, capacity=pipe_cfg.tile_capacity)
+        pl = build_payload(p, col, amz, b, geo=False, invd=False, ones=True)
+        c, _, _, _ = tile_blend(pl, b.counts, nty, ntx, False, False, True, bgr)
+        return (c[:H, :W] * gt0).sum()
+
+    g_f = jax.jit(jax.grad(raster_loss))
+    out = g_f(pre.mean2d)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    reps = 40
+    for _ in range(reps):
+        out = g_f(pre.mean2d)
+    jax.block_until_ready(out)
+    r_ms = (time.time() - t0) / reps * 1e3
+    print(
+        f"raster-only fwd+bwd (bin+payload+blend+grads): {r_ms:.2f} ms "
+        f"-> {H * W / r_ms / 1e3:.1f} Mpix/s",
+        file=sys.stderr,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile-dir", default=None,
@@ -101,6 +149,15 @@ def main():
         f"{mpix_per_s:.1f} Mpix/s fwd+bwd (loss {loss:.4f})",
         file=sys.stderr,
     )
+
+    # raster-only fwd+bwd (binning + payload + tile blend + grads to the
+    # preprocessed Gaussians) — the closest apples-to-apples cut against the
+    # reference's renderCUDA fwd+bwd kernels that the 100 Mpix/s baseline
+    # estimate describes.  Best-effort: never risk the main JSON line.
+    try:
+        _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views)
+    except Exception as e:  # pragma: no cover
+        print(f"raster-only micro failed: {e}", file=sys.stderr)
 
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
