@@ -100,6 +100,7 @@ def train_scene(
     dump_images: bool = True,
     views_per_step: int = 1,
     n_devices: Optional[int] = None,
+    profile_dir: Optional[str] = None,
 ) -> TrainResult:
     """Train one scene end-to-end.
 
@@ -264,6 +265,7 @@ def train_scene(
     _spawn_prewarm(ts, first_iter)
 
     iteration = first_iter
+    profiled = False
     while iteration < opt_cfg.iterations:
         next_event = min(
             [e for e in events if e > iteration] or [opt_cfg.iterations]
@@ -288,6 +290,15 @@ def train_scene(
         use_mask = (iteration + 1) >= opt_cfg.densify_until_iter
         conn_on = (iteration + 1) > opt_cfg.conn_from_iter
         t_chunk = time.time()
+        # profile the SECOND chunk (first is compile-dominated): the TPU
+        # equivalent of the reference's CUDA-event timing (train.py:56-57)
+        prof = None
+        if profile_dir is not None and iteration > first_iter and not profiled:
+            import jax as _jpf
+
+            prof = _jpf.profiler.trace(profile_dir)
+            prof.__enter__()
+            profiled = True
         if parallel:
             vi = jnp.asarray(idxs, jnp.int32).reshape(kp, B)
             ts, metrics = ps.parallel_train_steps_scan(
@@ -319,6 +330,10 @@ def train_scene(
                 n_active=n_active,
             )
         metrics = {kk: np.asarray(v)[:k] for kk, v in metrics.items()}
+        if prof is not None:
+            prof.__exit__(None, None, None)
+            if not quiet:
+                print(f"profiler trace -> {profile_dir}", flush=True)
         ov = int(metrics.get("overflow", np.zeros(1)).sum())
         if ov > 0:
             print(

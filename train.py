@@ -35,6 +35,8 @@ def main():
     p.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
     p.add_argument("--tile-capacity", type=int, default=1024)
     p.add_argument("--n-gaussians", type=int, default=12)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of one training chunk")
     p.add_argument("--scan-chunk", type=int, default=100,
                    help="training steps fused per dispatch (one compile)")
     p.add_argument("--views-per-step", type=int, default=1,
@@ -173,6 +175,7 @@ def main():
         views_per_step=args.views_per_step,
         n_devices=args.n_devices,
         scan_chunk=args.scan_chunk,
+        profile_dir=args.profile_dir,
     )
 
     if gt_scene is not None:
