@@ -173,3 +173,30 @@ def test_ellipsoid_mesh_export(tmp_path, rng):
     head = open(path, "rb").read(300).decode("latin1")
     assert f"element vertex {P * len(v)}" in head
     assert f"element face {P * len(f)}" in head
+
+
+def test_debug_image_dumps_and_profile(tmp_path):
+    """Test-iteration PNG dumps + jax.profiler trace artifacts appear."""
+    scene = synthetic.make_scene(
+        seed=2, n_curves=2, n_lines=0, n_views=2, height=32, width=128,
+        capacity=64,
+    )
+    out = str(tmp_path / "obs")
+    prof = str(tmp_path / "trace")
+    train_scene(
+        scene.cameras, scene.edge_maps,
+        scene.curves.mean(axis=1).astype(np.float32),
+        ModelConfig(n_gaussians=8),
+        _overflow_opt(), PipelineConfig(tile_capacity=64), out,
+        test_cameras=scene.cameras[:1],
+        test_edge_maps=scene.edge_maps[:1],
+        test_iterations=(4,),
+        quiet=True, scan_chunk=2, profile_dir=prof,
+    )
+    import os
+
+    imgs = os.listdir(os.path.join(out, "test_images", "iter_000004"))
+    for name in ("render", "gt", "alpha", "depth", "dir"):
+        assert any(name in f for f in imgs), imgs
+    # profiler wrote a trace directory
+    assert os.path.isdir(prof) and len(os.listdir(prof)) > 0
