@@ -45,6 +45,13 @@ class PipelineConfig:
     # way — growth keeps subsequent chunks exact.
     overflow_policy: str = "grow"  # 'grow' | 'raise' | 'warn'
     max_tile_capacity: int = 8192
+    # dropped candidates below tolerance * (visible Gaussians in the chunk)
+    # are logged but do NOT trigger grow/raise: per-tile truncation keeps
+    # the K nearest (front-most) instances, so the dropped tail is the most
+    # occluded sliver of the scene — doubling capacity (a recompile and 2x
+    # kernel VMEM) over a handful of candidates is a bad trade.  Set to 0
+    # for exact-or-grow behavior.
+    overflow_tolerance: float = 1e-4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -335,7 +335,16 @@ def train_scene(
             if not quiet:
                 print(f"profiler trace -> {profile_dir}", flush=True)
         ov = int(metrics.get("overflow", np.zeros(1)).sum())
-        if ov > 0:
+        tol = pipe_cfg.overflow_tolerance * float(
+            metrics.get("n_visible", np.zeros(1)).sum()
+        )
+        if 0 < ov <= tol:
+            print(
+                f"[{iteration + k:6d}] binning dropped {ov} tile candidates "
+                f"(within tolerance {tol:.0f}; occluded tail, not growing)",
+                flush=True,
+            )
+        elif ov > 0:
             print(
                 f"[{iteration + k:6d}] WARNING: binning dropped {ov} tile "
                 f"candidates this chunk (tile_capacity {pipe_cfg.tile_capacity}"

@@ -53,10 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from .projection import Preprocessed
-from .rasterize_ref import ALPHA_EPS
-
-TILE_H = 8
-TILE_W = 128
+from .rasterize_ref import ALPHA_EPS, TILE_H, TILE_W
 
 
 def tile_grid(height: int, width: int):
@@ -244,8 +241,10 @@ def _bin_sort(
     raw = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw, K)
     idx2 = starts[:T, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    gather_idx = sv[jnp.minimum(idx2, NP - 1)]
     slot_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
+    # empty slots carry sentinel P: the indirect kernels read fields row P
+    # (all zeros -> alpha 0) for the tail of a partially filled group
+    gather_idx = jnp.where(slot_valid, sv[jnp.minimum(idx2, NP - 1)], P)
 
     rect_overflow = jnp.where(
         pre.valid, rect.area - rect.rw_c * rect.rh_c, 0
@@ -297,7 +296,7 @@ def _bin_pairs(pre: Preprocessed, nty: int, ntx: int, K: int, max_rect: int):
 
     target = jnp.where(ok_pr & (slot < K) & (slot >= 0), tiles_pr * K + slot, T * K)
     orig = jnp.broadcast_to(order[:, None].astype(jnp.int32), (P, max_rect))
-    gather_flat = jnp.zeros((T * K + 1,), jnp.int32)
+    gather_flat = jnp.full((T * K + 1,), P, jnp.int32)  # sentinel P default
     gather_flat = gather_flat.at[target.reshape(-1)].set(
         orig.reshape(-1), mode="drop"
     )

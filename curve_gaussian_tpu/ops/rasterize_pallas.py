@@ -45,11 +45,14 @@ from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 def field_layout(geo: bool, invd: bool, ones: bool):
     """Payload lane layout for a channel configuration.
 
-    The training path (ones color, no allmap/invdepth) needs only the 8
+    The training path (ones color, no allmap/invdepth) needs only the 6
     geometry fields, halving payload-gather and gradient-table volume vs
-    the full 14-field render layout.  NF is padded to a multiple of 8.
+    the full render layout.  NF is padded to a multiple of 8.  There are
+    no extent fields: like the reference CUDA, candidacy is decided at
+    tile granularity by the binning; the kernel applies only the per-pixel
+    power/alpha cutoffs (forward.cu:336-372).
     """
-    names = ["mx", "my", "ca", "cb", "cc", "opa", "ex", "ey"]
+    names = ["mx", "my", "ca", "cb", "cc", "opa"]
     if not ones:
         names.append("col")
     if invd:
@@ -66,6 +69,10 @@ def field_layout(geo: bool, invd: bool, ones: bool):
 # alignment required for the dpay slab store.
 _FWD_CHUNK = 32
 _CHUNK = 8
+
+# training-config backward flavor: moment-scratch (MXU combiner) vs the
+# parking kernel.  Module-level so benchmarks can A/B them in one process.
+USE_MOMENT_BWD = True
 
 
 def _interpret() -> bool:
@@ -97,8 +104,6 @@ def build_payload(
         pre.conic[:, 1],
         pre.conic[:, 2],
         pre.opacity,
-        pre.extent[:, 0],
-        pre.extent[:, 1],
     ]
     if "col" in L:
         cols.append(color)
@@ -114,6 +119,46 @@ def build_payload(
     fields = jnp.stack(cols, axis=-1)  # [P, NF]
     payload = fields[idx]  # [T, K, NF]
     return jnp.where(ok[..., None], payload, 0.0)
+
+
+def stack_fields(
+    pre: Preprocessed,
+    color: jnp.ndarray,
+    allmap: jnp.ndarray,
+    geo: bool = True,
+    invd: bool = True,
+    ones: bool = False,
+) -> jnp.ndarray:
+    """[P+1, NF] compact per-Gaussian field rows for the indirect kernels.
+
+    Row P is zeros: the binning writes sentinel index P for empty slots, so
+    an in-kernel indirect read of an empty slot blends alpha = 0.  Unlike
+    build_payload there is no [T, K, NF] gather — the per-tile indirection
+    happens inside the kernel from an SMEM index block, which removes the
+    payload-gather stage (and its HBM traffic) from the step entirely.
+    """
+    L, nf = field_layout(geo, invd, ones)
+    cols = [
+        pre.mean2d[:, 0],
+        pre.mean2d[:, 1],
+        pre.conic[:, 0],
+        pre.conic[:, 1],
+        pre.conic[:, 2],
+        pre.opacity,
+    ]
+    if "col" in L:
+        cols.append(color)
+    if "invd" in L:
+        cols.append(
+            jnp.where(pre.valid, 1.0 / jnp.where(pre.valid, pre.depth, 1.0), 0.0)
+        )
+    if "am0" in L:
+        cols += [allmap[:, 0], allmap[:, 1], allmap[:, 2], allmap[:, 3]]
+    cols += [jnp.zeros_like(color)] * (nf - len(cols))
+    fields = jnp.stack(cols, axis=-1)  # [P, NF]
+    P = fields.shape[0]
+    pad = -(-(P + 1) // 8) * 8 - P  # sentinel row + round rows up to 8
+    return jnp.concatenate([fields, jnp.zeros((pad, nf), fields.dtype)], axis=0)
 
 
 def _pixel_grids(dtype):
@@ -150,13 +195,12 @@ def _channels(geo: bool, invd: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fwd_kernel(geo: bool, invd: bool, ones: bool):
+def _make_fwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
     chans = _channels(geo, invd)
     L, _ = field_layout(geo, invd, ones)
     nch = len(chans)
 
-    def kernel(counts_ref, bg_ref, payload_ref, col_ref, invd_ref, t_ref, am_ref):
-        fdt = payload_ref.dtype
+    def body(get, counts_ref, bg_ref, col_ref, invd_ref, t_ref, am_ref, fdt):
         n = _count(counts_ref)
         px, py = _pixel_grids(fdt)
         zero = jnp.zeros((TILE_H, TILE_W), fdt)
@@ -165,30 +209,21 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool):
             # act is carried as f32 (Mosaic cannot carry i1 vectors in loops)
             T, act, accs = st
             act_b = act > 0.5
-            dx = _f(payload_ref, j, L["mx"]) - px
-            dy = _f(payload_ref, j, L["my"]) - py
-            ca = _f(payload_ref, j, L["ca"])
-            cb = _f(payload_ref, j, L["cb"])
-            cc = _f(payload_ref, j, L["cc"])
-            inside = (jnp.abs(dx) <= _f(payload_ref, j, L["ex"])) & (
-                jnp.abs(dy) <= _f(payload_ref, j, L["ey"])
-            )
+            gf = get(j)
+            dx = gf(L["mx"]) - px
+            dy = gf(L["my"]) - py
+            ca = gf(L["ca"])
+            cb = gf(L["cb"])
+            cc = gf(L["cc"])
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(
-                ALPHA_MAX, _f(payload_ref, j, L["opa"]) * jnp.exp(power)
-            )
-            cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
+            alpha = jnp.minimum(ALPHA_MAX, gf(L["opa"]) * jnp.exp(power))
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
             test_T = jnp.where(cand, T * (1.0 - alpha), T)
             newly_done = cand & (test_T < T_EPS)
             contrib = cand & (~newly_done) & act_b
             w = jnp.where(contrib, alpha * T, zero)
             accs = tuple(
-                acc
-                + (
-                    w
-                    if (ones and ch == "col")
-                    else _f(payload_ref, j, L[ch]) * w
-                )
+                acc + (w if (ones and ch == "col") else gf(L[ch]) * w)
                 for acc, ch in zip(accs, chans)
             )
             T = jnp.where(contrib, test_T, T)
@@ -216,18 +251,40 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool):
         for i in range(4):
             am_ref[i, :, :] = by_ch.get(f"am{i}", zero)
 
+    if indirect:
+
+        def kernel(counts_ref, bg_ref, idx_ref, fields_ref,
+                   col_ref, invd_ref, t_ref, am_ref):
+            def get(j):
+                g = idx_ref[j]
+                return lambda f: fields_ref[g, f]
+
+            body(get, counts_ref, bg_ref, col_ref, invd_ref, t_ref, am_ref,
+                 fields_ref.dtype)
+
+    else:
+
+        def kernel(counts_ref, bg_ref, payload_ref,
+                   col_ref, invd_ref, t_ref, am_ref):
+            def get(j):
+                return lambda f: payload_ref[0, j, f]
+
+            body(get, counts_ref, bg_ref, col_ref, invd_ref, t_ref, am_ref,
+                 payload_ref.dtype)
+
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
+def _make_bwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
     chans = _channels(geo, invd)
     L, NF = field_layout(geo, invd, ones)
 
-    def kernel(
+    def body(
+        get,
+        fdt,
         counts_ref,
         bg_ref,
-        payload_ref,
         outc_ref,
         outd_ref,
         outt_ref,
@@ -238,7 +295,6 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
         gam_ref,
         dpay_ref,
     ):
-        fdt = payload_ref.dtype
         n = _count(counts_ref)
         px, py = _pixel_grids(fdt)
         zero = jnp.zeros((TILE_H, TILE_W), fdt)
@@ -292,26 +348,24 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
         def blend(j, i, st):
             T, act, prefixes, bufs = st
             act_b = act > 0.5
-            mxv = _f(payload_ref, j, L["mx"])
-            myv = _f(payload_ref, j, L["my"])
-            ca = _f(payload_ref, j, L["ca"])
-            cb = _f(payload_ref, j, L["cb"])
-            cc = _f(payload_ref, j, L["cc"])
-            opa = _f(payload_ref, j, L["opa"])
+            gf = get(j)
+            mxv = gf(L["mx"])
+            myv = gf(L["my"])
+            ca = gf(L["ca"])
+            cb = gf(L["cb"])
+            cc = gf(L["cc"])
+            opa = gf(L["opa"])
             chvals = {
-                ch: (1.0 if (ones and ch == "col") else _f(payload_ref, j, L[ch]))
+                ch: (1.0 if (ones and ch == "col") else gf(L[ch]))
                 for ch in chans
             }
             dx = mxv - px
             dy = myv - py
-            inside = (jnp.abs(dx) <= _f(payload_ref, j, L["ex"])) & (
-                jnp.abs(dy) <= _f(payload_ref, j, L["ey"])
-            )
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             G = jnp.exp(power)
             alpha_u = opa * G
             alpha = jnp.minimum(ALPHA_MAX, alpha_u)
-            cand = inside & (power <= 0.0) & (alpha >= ALPHA_EPS)
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
             test_T = jnp.where(cand, T * (1.0 - alpha), T)
             newly_done = cand & (test_T < T_EPS)
             contrib = cand & (~newly_done) & act_b
@@ -366,7 +420,161 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool):
         )
         jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
 
+    if indirect:
+
+        def kernel(counts_ref, bg_ref, idx_ref, fields_ref, *refs):
+            def get(j):
+                g = idx_ref[j]
+                return lambda f: fields_ref[g, f]
+
+            body(get, fields_ref.dtype, counts_ref, bg_ref, *refs)
+
+    else:
+
+        def kernel(counts_ref, bg_ref, payload_ref, *refs):
+            def get(j):
+                return lambda f: payload_ref[0, j, f]
+
+            body(get, payload_ref.dtype, counts_ref, bg_ref, *refs)
+
     return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_moment_kernel(indirect: bool = True):
+    """Training-config backward (ones color, no geo/invd): moment scratch.
+
+    Instead of computing the 6 per-instance gradient expressions and
+    parking their reductions (the parking kernel above), each instance
+    stores six weighted pixel rows to a VMEM scratch —
+        D', D'dx, D'dy, D'dx^2, D'dxdy, D'dy^2   (D' = g_alpha * G)
+    — at static sublane offsets, and each 8-instance group reduces them
+    with small MXU dots (an (8,64) one-hot block-sum combiner) into per-
+    slot moment rows [T, K, 8].  The moment -> field-gradient conversion
+    is linear with per-GAUSSIAN coefficients, so it runs as fused XLA
+    elementwise AFTER the slot->Gaussian scatter (no per-slot gathers):
+        d_opa = M0;  d_mx = -opa(ca M1 + cb M2);  d_my = -opa(cc M2 + cb M1)
+        d_ca = -opa M3/2;  d_cb = -opa M4;  d_cc = -opa M5/2
+    This drops ~40% of the per-instance VPU ops of the parking backward
+    (5 gradient expressions + 12 park selects -> 5 muls + 6 stores) and
+    moves the reductions to the otherwise-idle MXU.
+    """
+    L, NF = field_layout(False, False, True)
+
+    def body(get, fdt, counts_ref, bg_ref, outc_ref, outt_ref,
+             gc_ref, gt_ref, mom_ref, scr_ref):
+        n = _count(counts_ref)
+        px, py = _pixel_grids(fdt)
+        zero = jnp.zeros((TILE_H, TILE_W), fdt)
+        mom_ref[...] = jnp.zeros(mom_ref.shape, fdt)
+        outt = outt_ref[:, :]
+        gt = gt_ref[:, :]
+        gc = gc_ref[:, :]
+        outc = outc_ref[:, :]
+
+        rows_per = _CHUNK * TILE_H  # 64 scratch rows per moment
+        gi = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 1)
+        S = jnp.where(ri // TILE_H == gi, 1.0, 0.0).astype(fdt)  # (8, 64)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
+        zrow = jnp.zeros((_CHUNK, NF), fdt)
+
+        def blend(j, i, st):
+            T, act, pref = st
+            act_b = act > 0.5
+            gf = get(j)
+            dx = gf(L["mx"]) - px
+            dy = gf(L["my"]) - py
+            ca = gf(L["ca"])
+            cb = gf(L["cb"])
+            cc = gf(L["cc"])
+            opa = gf(L["opa"])
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            G = jnp.exp(power)
+            alpha = jnp.minimum(ALPHA_MAX, opa * G)
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
+            test_T = jnp.where(cand, T * (1.0 - alpha), T)
+            newly_done = cand & (test_T < T_EPS)
+            contrib = cand & (~newly_done) & act_b
+            w = jnp.where(contrib, alpha * T, zero)
+            pref = pref + w  # inclusive ones-color prefix
+
+            inv1a = 1.0 / (1.0 - alpha)
+            g_alpha = gt * (-outt * inv1a) + gc * (T - (outc - pref) * inv1a)
+            g_alpha = jnp.where(contrib, g_alpha, zero)
+            Dp = g_alpha * G
+            e1 = Dp * dx
+            e2 = Dp * dy
+            for k, v in enumerate((Dp, e1, e2, e1 * dx, e1 * dy, e2 * dy)):
+                scr_ref[pl.ds(rows_per * k + TILE_H * i, TILE_H), :] = v
+
+            T = jnp.where(contrib, test_T, T)
+            act = jnp.where(newly_done, zero, act)
+            return (T, act, pref)
+
+        def group_cond(st):
+            g, state = st
+            return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
+
+        def group_body(st):
+            g, state = st
+            for i in range(_CHUNK):
+                state = blend(g * _CHUNK + i, i, state)
+            rows = zrow
+            for k in range(6):
+                blk = scr_ref[pl.ds(rows_per * k, rows_per), :]  # (64, 128)
+                Ak = jax.lax.dot_general(
+                    S, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=fdt,
+                )  # (8, 128): per-instance sublane sums
+                col = jnp.sum(Ak, axis=1, keepdims=True)  # (8, 1)
+                rows = rows + jnp.where(lane8 == k, col, zrow)
+            off = pl.multiple_of(g * _CHUNK, _CHUNK)
+            mom_ref[0, pl.ds(off, _CHUNK), :] = rows
+            return (g + 1, state)
+
+        init = (zero + 1.0, zero + 1.0, zero)
+        jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
+
+    if indirect:
+
+        def kernel(counts_ref, bg_ref, idx_ref, fields_ref, *refs):
+            def get(j):
+                g = idx_ref[j]
+                return lambda f: fields_ref[g, f]
+
+            body(get, fields_ref.dtype, counts_ref, bg_ref, *refs)
+
+    else:
+
+        def kernel(counts_ref, bg_ref, payload_ref, *refs):
+            def get(j):
+                return lambda f: payload_ref[0, j, f]
+
+            body(get, payload_ref.dtype, counts_ref, bg_ref, *refs)
+
+    return kernel
+
+
+def _moments_to_dfields(M, fields):
+    """Per-Gaussian moment rows [P1, 8] -> field gradients [P1, NF]."""
+    ca, cb, cc, opa = fields[:, 2], fields[:, 3], fields[:, 4], fields[:, 5]
+    M0, M1, M2 = M[:, 0], M[:, 1], M[:, 2]
+    M3, M4, M5 = M[:, 3], M[:, 4], M[:, 5]
+    z = jnp.zeros_like(M0)
+    return jnp.stack(
+        [
+            -opa * (ca * M1 + cb * M2),
+            -opa * (cc * M2 + cb * M1),
+            -0.5 * opa * M3,
+            -opa * M4,
+            -0.5 * opa * M5,
+            M0,
+            z,
+            z,
+        ],
+        axis=-1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -467,3 +675,134 @@ def _tile_blend_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
 
 
 tile_blend.defvjp(_tile_blend_fwd, _tile_blend_bwd)
+
+
+# ---------------------------------------------------------------------------
+# indirect variant: compact [P+1, NF] fields + in-kernel SMEM index blocks
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def tile_blend_indirect(fields, idx, counts, nty: int, ntx: int,
+                        geo: bool = True, invd: bool = True,
+                        ones: bool = False, bg=None):
+    """tile_blend without the materialized [T, K, NF] payload table.
+
+    fields: [P1, NF] compact rows from stack_fields (P1 a multiple of 8,
+    row P = zeros sentinel); idx: [T, K] int32 per-tile instance lists with
+    sentinel P at empty slots; counts: [T] int32.  The whole fields array
+    stays resident in VMEM (constant index map) while the per-tile index
+    block streams through SMEM, so each instance costs one extra SMEM
+    scalar read instead of an HBM payload-gather pass.
+    """
+    out, _ = _tile_blend_ind_fwd(
+        fields, idx, counts, nty, ntx, geo, invd, ones, bg
+    )
+    return out
+
+
+def _ind_grid_spec(P1, NF, K, nty, ntx, extra_in, extra_out):
+    # the index list rides SMEM as a rank-1 (K,) block over the flattened
+    # [T*K] array: Mosaic rejects (1, K) SMEM blocks (last-two-dims rule),
+    # and rank-1 needs only K % 128 == 0, which tile capacities satisfy
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(
+                (K,), lambda i, j, c, b: (i * ntx + j,),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((P1, NF), lambda i, j, c, b: (0, 0)),
+        ]
+        + extra_in,
+        out_specs=extra_out,
+    )
+
+
+def _tile_blend_ind_fwd(fields, idx, counts, nty: int, ntx: int,
+                        geo: bool, invd: bool, ones: bool, bg=None):
+    P1, NF = fields.shape
+    K = idx.shape[1]
+    Hp, Wp = nty * TILE_H, ntx * TILE_W
+    dt = fields.dtype
+    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j))
+    grid_spec = _ind_grid_spec(
+        P1, NF, K, nty, ntx, [],
+        [img(), img(), img(),
+         pl.BlockSpec((4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j))],
+    )
+    col, invd_img, finT, am = pl.pallas_call(
+        _make_fwd_kernel(geo, invd, ones, indirect=True),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Hp, Wp), dt),
+            jax.ShapeDtypeStruct((Hp, Wp), dt),
+            jax.ShapeDtypeStruct((Hp, Wp), dt),
+            jax.ShapeDtypeStruct((4, Hp, Wp), dt),
+        ],
+        interpret=_interpret(),
+    )(counts, bg, idx.reshape(-1), fields)
+    out = (col, invd_img, finT, am)
+    return out, (fields, idx, counts, bg, out)
+
+
+def _tile_blend_ind_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
+                        res, g):
+    fields, idx, counts, bg, out = res
+    col, invd_img, finT, am = out
+    gc, gd, gtt, gam = g
+    P1, NF = fields.shape
+    T, K = idx.shape
+    dt = fields.dtype
+    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j))
+    am_spec = lambda: pl.BlockSpec(
+        (4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j)
+    )
+    dbg = jnp.sum(gc * finT, dtype=dt).reshape(bg.shape)
+    if USE_MOMENT_BWD and ones and not geo and not invd:
+        # training config: moment-scratch backward (see the kernel docstring)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(
+                    (K,), lambda i, j, c, b: (i * ntx + j,),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((P1, NF), lambda i, j, c, b: (0, 0)),
+                img(), img(), img(), img(),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, K, 8), lambda i, j, c, b: (i * ntx + j, 0, 0))
+            ],
+            scratch_shapes=[pltpu.VMEM((6 * _CHUNK * TILE_H, TILE_W), dt)],
+        )
+        (mom,) = pl.pallas_call(
+            _make_bwd_moment_kernel(indirect=True),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((T, K, 8), dt)],
+            interpret=_interpret(),
+        )(counts, bg, idx.reshape(-1), fields, col, finT, gc, gtt)
+        M = jnp.zeros((P1, 8), dt).at[idx.reshape(-1)].add(
+            mom.reshape(-1, 8), mode="drop"
+        )
+        return (_moments_to_dfields(M, fields), None, None, dbg)
+    grid_spec = _ind_grid_spec(
+        P1, NF, K, nty, ntx,
+        [img(), img(), img(), am_spec(), img(), img(), img(), am_spec()],
+        [pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0))],
+    )
+    (dpay,) = pl.pallas_call(
+        _make_bwd_kernel(geo, invd, ones, indirect=True),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((T, K, NF), dt)],
+        interpret=_interpret(),
+    )(counts, bg, idx.reshape(-1), fields, col, invd_img, finT, am, gc, gd, gtt, gam)
+    dfields = jnp.zeros((P1, NF), dt).at[idx.reshape(-1)].add(
+        dpay.reshape(-1, NF), mode="drop"
+    )
+    return (dfields, None, None, dbg)
+
+
+tile_blend_indirect.defvjp(_tile_blend_ind_fwd, _tile_blend_ind_bwd)

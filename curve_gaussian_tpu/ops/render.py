@@ -32,8 +32,13 @@ from .binning import bin_gaussians, tile_grid
 from .camera import Camera
 from .projection import preprocess
 from .quaternion import quat_to_rotmat
-from .rasterize_pallas import build_payload, tile_blend
-from .rasterize_ref import rasterize_reference
+from .rasterize_pallas import (
+    build_payload,
+    stack_fields,
+    tile_blend,
+    tile_blend_indirect,
+)
+from .rasterize_ref import membership, rasterize_reference
 
 
 def main_axis_allmap(xyz, quat, cam: Camera) -> jnp.ndarray:
@@ -91,8 +96,13 @@ def render(
     bg_arr = jnp.asarray(bg, pre.mean2d.dtype).reshape(1)
 
     if backend == "reference":
+        # candidacy is tile-granular (see rasterize_ref docstring): feed the
+        # oracle the same binning membership the tiled kernel uses so the
+        # two backends stay comparable bit-for-bit, truncation included
+        binning = bin_gaussians(pre, H, W, capacity=capacity)
         out = rasterize_reference(
-            pre, color, allmap, bg_arr[0], H, W, render_geo=render_geo
+            pre, color, allmap, bg_arr[0], H, W, render_geo=render_geo,
+            member=membership(binning, xyz.shape[0]),
         )
         img, invd, finT, am = (
             out["render"],
@@ -100,18 +110,28 @@ def render(
             out["final_T"],
             out["allmap"],
         )
-        overflow = jnp.int32(0)
+        overflow = binning.overflow
     else:
         binning = bin_gaussians(pre, H, W, capacity=capacity)
-        payload = build_payload(
-            pre, color, allmap, binning,
-            geo=render_geo, invd=compute_invdepth, ones=color_ones,
-        )
         nty, ntx = tile_grid(H, W)
-        img_p, invd_p, finT_p, am_p = tile_blend(
-            payload, binning.counts, nty, ntx,
-            render_geo, compute_invdepth, color_ones, bg_arr,
-        )
+        if backend == "pallas_table":  # round-1 design, kept for A/B
+            payload = build_payload(
+                pre, color, allmap, binning,
+                geo=render_geo, invd=compute_invdepth, ones=color_ones,
+            )
+            img_p, invd_p, finT_p, am_p = tile_blend(
+                payload, binning.counts, nty, ntx,
+                render_geo, compute_invdepth, color_ones, bg_arr,
+            )
+        else:
+            fields = stack_fields(
+                pre, color, allmap,
+                geo=render_geo, invd=compute_invdepth, ones=color_ones,
+            )
+            img_p, invd_p, finT_p, am_p = tile_blend_indirect(
+                fields, binning.gather_idx, binning.counts, nty, ntx,
+                render_geo, compute_invdepth, color_ones, bg_arr,
+            )
         img, invd, finT = img_p[:H, :W], invd_p[:H, :W], finT_p[:H, :W]
         am = am_p[:, :H, :W]
         overflow = binning.overflow

@@ -63,13 +63,6 @@ def torch_render(xyz_t, scale_t, quat_t, opa_t, cam, H, W, bg=0.0):
     cxy = cov2d[:, 0, 1]
     det = cxx * cyy - cxy * cxy
     conic = torch.stack([cyy / det, -cxy / det, cxx / det], -1)
-    ex = 3.0 * torch.sqrt(torch.clamp(cxx, min=0.0))
-    ey = 3.0 * torch.sqrt(torch.clamp(cyy, min=0.0))
-    mid = 0.5 * (cxx + cyy)
-    lam = mid + torch.sqrt(torch.clamp(mid * mid - det, min=0.1))
-    radius = torch.ceil(3.0 * torch.sqrt(lam))
-    ex = torch.minimum(ex, radius)
-    ey = torch.minimum(ey, radius)
     valid = (depth > 0.2) & (det > 0)
 
     order = torch.argsort(torch.where(valid, depth, torch.inf))
@@ -86,11 +79,12 @@ def torch_render(xyz_t, scale_t, quat_t, opa_t, cam, H, W, bg=0.0):
             continue
         dx = mx[p] - xs
         dy = my[p] - ys
-        inside = (dx.abs() <= ex[p]) & (dy.abs() <= ey[p])
+        # no per-pixel bbox test: forward.cu:336-372 gates only on the
+        # power/alpha cutoffs (candidacy is tile-granular via binning)
         power = -0.5 * (conic[p, 0] * dx * dx + conic[p, 2] * dy * dy) - conic[p, 1] * dx * dy
         a_u = opa_t[p] * torch.exp(power)
         alpha = a_u + (torch.clamp(a_u, max=0.99) - a_u).detach()
-        cand = inside & (power <= 0) & (alpha >= 1.0 / 255.0)
+        cand = (power <= 0) & (alpha >= 1.0 / 255.0)
         test_T = torch.where(cand, Timg * (1 - alpha), Timg)
         newly_done = cand & (test_T < 1e-4)
         contrib = cand & ~newly_done & active
