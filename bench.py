@@ -30,10 +30,7 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
     from curve_gaussian_tpu.models import curve_state as cs
     from curve_gaussian_tpu.ops import binning as B
     from curve_gaussian_tpu.ops.projection import preprocess
-    from curve_gaussian_tpu.ops.rasterize_pallas import (
-        stack_fields,
-        tile_blend_indirect,
-    )
+    from curve_gaussian_tpu.ops.rasterize_pallas import build_payload, tile_blend
 
     state_r = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
     gsr = cs.gaussians(state_r)
@@ -52,12 +49,11 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
     gt0 = gts[0]
 
     def raster_loss(m2):
+        # table flavor — what the auto-select picks at this P (render.py)
         p = pre._replace(mean2d=m2)
         b = B.bin_gaussians(p, H, W, capacity=pipe_cfg.tile_capacity)
-        f = stack_fields(p, col, amz, geo=False, invd=False, ones=True)
-        c, _, _, _ = tile_blend_indirect(
-            f, b.gather_idx, b.counts, nty, ntx, False, False, True, bgr
-        )
+        pl = build_payload(p, col, amz, b, geo=False, invd=False, ones=True)
+        c, _, _, _ = tile_blend(pl, b.counts, nty, ntx, False, False, True, bgr)
         return (c[:H, :W] * gt0).sum()
 
     g_f = jax.jit(jax.grad(raster_loss))

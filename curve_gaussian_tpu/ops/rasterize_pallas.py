@@ -63,12 +63,15 @@ def field_layout(geo: bool, invd: bool, ones: bool):
     return {n: i for i, n in enumerate(names)}, nf
 
 # instance group sizes: forward carries only (T, act, C...) tiles, so a wide
-# group amortizes the liveness check (measured 6.0 -> 3.4 ms at 85k
-# instances); backward parks 12 (CHUNK, 128) partial buffers, so it stays
-# narrow to avoid register spills.  Both are multiples of the 8-sublane
-# alignment required for the dpay slab store.
-_FWD_CHUNK = 32
+# group amortizes the while_loop + liveness-reduce overhead (probed ~16
+# ns/instance at chunk 32; chunk 64 buys another ~6%); backward parks 12
+# (CHUNK, 128) partial buffers, so it stays narrow to avoid register
+# spills.  Both are multiples of the 8-sublane alignment required for the
+# dpay slab store.
+_FWD_CHUNK = 64
 _CHUNK = 8
+_PIPE = 8  # phase-1/phase-2 sub-group width inside a fwd group
+_BPIPE = 4  # phase-1 sub-group width inside a bwd group (register pressure)
 
 # training-config backward flavor: moment-scratch (MXU combiner) vs the
 # parking kernel.  Module-level so benchmarks can A/B them in one process.
@@ -77,6 +80,37 @@ USE_MOMENT_BWD = True
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+_LOG2E = 1.4426950408889634
+# degree-5 LSQ fit of 2^f on [0,1]; max rel err ~1e-6 in f32 Horner
+_EXP_C = (9.9999976963e-01, 6.9315677670e-01, 2.4013169187e-01,
+          5.5876556869e-02, 8.9405825293e-03, 1.8943794234e-03)
+
+
+def _fast_exp(x):
+    """exp(x) as 2^n * poly(frac) — Mosaic lowers jnp.exp ~17 ns/call on an
+    (8,128) register (half the whole blend cost, probed v5e); this bit-trick
+    construction is ~6x cheaper at 1e-6 relative error, well inside the
+    rasterizer's alpha tolerances.  n is clamped to +-127 BEFORE the
+    exponent-field shift: un-clamped, power ~ -2e4 (a far pixel against a
+    tight conic) wraps the int32 shift and fabricates a HUGE scale, turning
+    empty pixels opaque (observed, not hypothetical).  n = -127 maps to
+    ni = 0 -> 0.0, an exact flush for any alpha below threshold.
+
+    CPU interpret mode keeps libm exp: the 12-op construction costs ~3x in
+    per-op interpretation and the tests' tolerances cover the 1e-6 gap."""
+    if _interpret():
+        return jnp.exp(x)
+    z = x * _LOG2E
+    n = jnp.floor(z)
+    f = z - n
+    p = _EXP_C[5]
+    for k in (4, 3, 2, 1, 0):
+        p = p * f + _EXP_C[k]
+    n = jnp.clip(n, -127.0, 127.0)
+    ni = (n.astype(jnp.int32) + 127) << 23
+    return jax.lax.bitcast_convert_type(ni, jnp.float32) * p
 
 
 def build_payload(
@@ -204,11 +238,22 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
         n = _count(counts_ref)
         px, py = _pixel_grids(fdt)
         zero = jnp.zeros((TILE_H, TILE_W), fdt)
+        one = zero + 1.0
 
-        def blend(j, st):
-            # act is carried as f32 (Mosaic cannot carry i1 vectors in loops)
-            T, act, accs = st
-            act_b = act > 0.5
+        # two-phase pipeline: per _PIPE-instance sub-group, first compute
+        # every instance's gated alpha INDEPENDENTLY (no cross-instance
+        # deps -> the VPU's parallel ALUs stay fed), then run a short
+        # serial composite sweep whose per-instance dependency chain is
+        # ~5 float ops (vs ~30 in the naive blend-at-a-time ordering).
+        # Float mask algebra (act/live as {0,1} floats) replaces the
+        # boolean selects: with aT = alpha*T,
+        #   w  = aT * act * live        (live = [T - aT >= T_EPS])
+        #   T' = T - w                  (== T*(1-alpha) when contributing)
+        #   act' = act * (live if alpha > 0 else 1)
+        # reproduces the reference's test_T / newly_done / contrib rules
+        # exactly (act==1 implies T >= T_EPS, so non-candidates never
+        # trip live; a tripping candidate freezes T and kills the pixel).
+        def phase1(j):
             gf = get(j)
             dx = gf(L["mx"]) - px
             dy = gf(L["my"]) - py
@@ -216,19 +261,13 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
             cb = gf(L["cb"])
             cc = gf(L["cc"])
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, gf(L["opa"]) * jnp.exp(power))
+            alpha = jnp.minimum(ALPHA_MAX, gf(L["opa"]) * _fast_exp(power))
             cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
-            test_T = jnp.where(cand, T * (1.0 - alpha), T)
-            newly_done = cand & (test_T < T_EPS)
-            contrib = cand & (~newly_done) & act_b
-            w = jnp.where(contrib, alpha * T, zero)
-            accs = tuple(
-                acc + (w if (ones and ch == "col") else gf(L[ch]) * w)
-                for acc, ch in zip(accs, chans)
+            ag = jnp.where(cand, alpha, zero)
+            chv = tuple(
+                None if (ones and ch == "col") else gf(L[ch]) for ch in chans
             )
-            T = jnp.where(contrib, test_T, T)
-            act = jnp.where(newly_done, zero, act)
-            return (T, act, accs)
+            return ag, chv
 
         def group_cond(st):
             g, state = st
@@ -236,11 +275,30 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
 
         def group_body(st):
             g, state = st
-            for i in range(_FWD_CHUNK):
-                state = blend(g * _FWD_CHUNK + i, state)
-            return (g + 1, state)
+            T, act, accs = state
+            for s in range(_FWD_CHUNK // _PIPE):
+                pre = [phase1(g * _FWD_CHUNK + s * _PIPE + i)
+                       for i in range(_PIPE)]
+                ws = []
+                for ag, _ in pre:
+                    aT = ag * T
+                    ta = T - aT
+                    live = jnp.where(ta >= T_EPS, one, zero)
+                    w = aT * (act * live)
+                    act = act * jnp.where(ag > 0.0, live, one)
+                    T = T - w
+                    ws.append(w)
+                # channel accumulation off the serial path (tree-summable)
+                accs = tuple(
+                    acc + sum(
+                        w if (ones and ch == "col") else chv[c] * w
+                        for w, (_, chv) in zip(ws, pre)
+                    )
+                    for c, (acc, ch) in enumerate(zip(accs, chans))
+                )
+            return (g + 1, (T, act, accs))
 
-        init = (zero + 1.0, zero + 1.0, (zero,) * nch)
+        init = (one, one, (zero,) * nch)
         _, (T, _, accs) = jax.lax.while_loop(
             group_cond, group_body, (jnp.int32(0), init)
         )
@@ -345,59 +403,31 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
                 rows = rows + jnp.where(lane16 == f, col, zrow)
             return rows
 
-        def blend(j, i, st):
-            T, act, prefixes, bufs = st
-            act_b = act > 0.5
+        one = zero + 1.0
+
+        # same two-phase pipeline as the forward (see its body): phase 1
+        # computes every instance's gated alpha/G independently, the serial
+        # sweep keeps only the ~6-op T/act/prefix chain, and the gradient
+        # expressions + parking hang off recorded w/T_i values where the
+        # scheduler can overlap them across instances.
+        def phase1(j):
             gf = get(j)
-            mxv = gf(L["mx"])
-            myv = gf(L["my"])
             ca = gf(L["ca"])
             cb = gf(L["cb"])
             cc = gf(L["cc"])
             opa = gf(L["opa"])
-            chvals = {
+            dx = gf(L["mx"]) - px
+            dy = gf(L["my"]) - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            G = _fast_exp(power)
+            alpha = jnp.minimum(ALPHA_MAX, opa * G)
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
+            ag = jnp.where(cand, alpha, zero)
+            chv = {
                 ch: (1.0 if (ones and ch == "col") else gf(L[ch]))
                 for ch in chans
             }
-            dx = mxv - px
-            dy = myv - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            G = jnp.exp(power)
-            alpha_u = opa * G
-            alpha = jnp.minimum(ALPHA_MAX, alpha_u)
-            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
-            test_T = jnp.where(cand, T * (1.0 - alpha), T)
-            newly_done = cand & (test_T < T_EPS)
-            contrib = cand & (~newly_done) & act_b
-            w = jnp.where(contrib, alpha * T, zero)
-
-            prefixes = tuple(
-                A + chvals[ch] * w for A, ch in zip(prefixes, chans)
-            )
-            by_ch = dict(zip(chans, prefixes))
-
-            inv1a = 1.0 / (1.0 - alpha)
-            g_alpha = gt * (-outt * inv1a)
-            for ch in chans:
-                g_alpha += gch[ch] * (
-                    chvals[ch] * T - (och[ch] - by_ch[ch]) * inv1a
-                )
-            g_alpha = jnp.where(contrib, g_alpha, zero)
-
-            d_power = g_alpha * alpha_u
-            vals = [
-                d_power * (-ca * dx - cb * dy),
-                d_power * (-cc * dy - cb * dx),
-                d_power * (-0.5 * dx * dx),
-                d_power * (-dx * dy),
-                d_power * (-0.5 * dy * dy),
-                g_alpha * G,
-            ] + [gch[ch] * w for ch in grad_chans]
-            bufs = tuple(park(buf, i, v) for buf, v in zip(bufs, vals))
-
-            T = jnp.where(contrib, test_T, T)
-            act = jnp.where(newly_done, zero, act)
-            return (T, act, prefixes, bufs)
+            return ag, G, dx, dy, (ca, cb, cc, opa), chv
 
         def group_cond(st):
             g, state = st
@@ -405,12 +435,48 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
 
         def group_body(st):
             g, state = st
-            state = state[:-1] + ((zbuf,) * NG,)
-            for i in range(_CHUNK):
-                state = blend(g * _CHUNK + i, i, state)
+            T, act, prefixes, _ = state
+            bufs = (zbuf,) * NG
+            for s in range(_CHUNK // _BPIPE):
+                pre = [phase1(g * _CHUNK + s * _BPIPE + i)
+                       for i in range(_BPIPE)]
+                for i, (ag, G, dx, dy, (ca, cb, cc, opa), chv) in enumerate(pre):
+                    aT = ag * T
+                    ta = T - aT
+                    live = jnp.where(ta >= T_EPS, one, zero)
+                    w = aT * (act * live)
+                    act = act * jnp.where(ag > 0.0, live, one)
+                    T_i = T
+                    T = T - w
+                    prefixes = tuple(
+                        A + chv[ch] * w for A, ch in zip(prefixes, chans)
+                    )
+                    by_ch = dict(zip(chans, prefixes))
+
+                    inv1a = 1.0 / (1.0 - ag)
+                    g_alpha = gt * (-outt * inv1a)
+                    for ch in chans:
+                        g_alpha += gch[ch] * (
+                            chv[ch] * T_i - (och[ch] - by_ch[ch]) * inv1a
+                        )
+                    g_alpha = g_alpha * jnp.where(w > 0.0, one, zero)
+
+                    d_power = g_alpha * (opa * G)
+                    vals = [
+                        d_power * (-ca * dx - cb * dy),
+                        d_power * (-cc * dy - cb * dx),
+                        d_power * (-0.5 * dx * dx),
+                        d_power * (-dx * dy),
+                        d_power * (-0.5 * dy * dy),
+                        g_alpha * G,
+                    ] + [gch[ch] * w for ch in grad_chans]
+                    bufs = tuple(
+                        park(buf, s * _BPIPE + i, v)
+                        for buf, v in zip(bufs, vals)
+                    )
             off = pl.multiple_of(g * _CHUNK, _CHUNK)
-            dpay_ref[0, pl.ds(off, _CHUNK), :] = finish_group(state[-1])
-            return (g + 1, state)
+            dpay_ref[0, pl.ds(off, _CHUNK), :] = finish_group(bufs)
+            return (g + 1, (T, act, prefixes, bufs))
 
         init = (
             zero + 1.0,
@@ -479,38 +545,25 @@ def _make_bwd_moment_kernel(indirect: bool = True):
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
         zrow = jnp.zeros((_CHUNK, NF), fdt)
 
-        def blend(j, i, st):
-            T, act, pref = st
-            act_b = act > 0.5
+        one = zero + 1.0
+
+        # two-phase pipeline (see the forward kernel body): independent
+        # candidacy phase, ~6-op serial composite chain, moment stores
+        # hang off recorded values outside the chain
+        def phase1(j):
             gf = get(j)
-            dx = gf(L["mx"]) - px
-            dy = gf(L["my"]) - py
             ca = gf(L["ca"])
             cb = gf(L["cb"])
             cc = gf(L["cc"])
             opa = gf(L["opa"])
+            dx = gf(L["mx"]) - px
+            dy = gf(L["my"]) - py
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            G = jnp.exp(power)
+            G = _fast_exp(power)
             alpha = jnp.minimum(ALPHA_MAX, opa * G)
             cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
-            test_T = jnp.where(cand, T * (1.0 - alpha), T)
-            newly_done = cand & (test_T < T_EPS)
-            contrib = cand & (~newly_done) & act_b
-            w = jnp.where(contrib, alpha * T, zero)
-            pref = pref + w  # inclusive ones-color prefix
-
-            inv1a = 1.0 / (1.0 - alpha)
-            g_alpha = gt * (-outt * inv1a) + gc * (T - (outc - pref) * inv1a)
-            g_alpha = jnp.where(contrib, g_alpha, zero)
-            Dp = g_alpha * G
-            e1 = Dp * dx
-            e2 = Dp * dy
-            for k, v in enumerate((Dp, e1, e2, e1 * dx, e1 * dy, e2 * dy)):
-                scr_ref[pl.ds(rows_per * k + TILE_H * i, TILE_H), :] = v
-
-            T = jnp.where(contrib, test_T, T)
-            act = jnp.where(newly_done, zero, act)
-            return (T, act, pref)
+            ag = jnp.where(cand, alpha, zero)
+            return ag, G, dx, dy
 
         def group_cond(st):
             g, state = st
@@ -518,8 +571,39 @@ def _make_bwd_moment_kernel(indirect: bool = True):
 
         def group_body(st):
             g, state = st
-            for i in range(_CHUNK):
-                state = blend(g * _CHUNK + i, i, state)
+            T, act, pref = state
+            for s in range(_CHUNK // _BPIPE):
+                pre = [phase1(g * _CHUNK + s * _BPIPE + i)
+                       for i in range(_BPIPE)]
+                for i, (ag, G, dx, dy) in enumerate(pre):
+                    aT = ag * T
+                    ta = T - aT
+                    live = jnp.where(ta >= T_EPS, one, zero)
+                    w = aT * (act * live)
+                    act = act * jnp.where(ag > 0.0, live, one)
+                    T_i = T
+                    T = T - w
+                    pref = pref + w  # inclusive ones-color prefix
+
+                    inv1a = 1.0 / (1.0 - ag)
+                    g_alpha = gt * (-outt * inv1a) + gc * (
+                        T_i - (outc - pref) * inv1a
+                    )
+                    g_alpha = g_alpha * jnp.where(w > 0.0, one, zero)
+                    Dp = g_alpha * G
+                    e1 = Dp * dx
+                    e2 = Dp * dy
+                    for k, v in enumerate(
+                        (Dp, e1, e2, e1 * dx, e1 * dy, e2 * dy)
+                    ):
+                        scr_ref[
+                            pl.ds(
+                                rows_per * k + TILE_H * (s * _BPIPE + i),
+                                TILE_H,
+                            ),
+                            :,
+                        ] = v
+            state = (T, act, pref)
             rows = zrow
             for k in range(6):
                 blk = scr_ref[pl.ds(rows_per * k, rows_per), :]  # (64, 128)

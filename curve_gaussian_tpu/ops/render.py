@@ -114,7 +114,15 @@ def render(
     else:
         binning = bin_gaussians(pre, H, W, capacity=capacity)
         nty, ntx = tile_grid(H, W)
-        if backend == "pallas_table":  # round-1 design, kept for A/B
+        if backend == "pallas":
+            # auto-select the blend flavor by model size (interleaved A/B on
+            # v5e): small fields arrays live happily VMEM-resident and the
+            # indirect kernels win ~5% (no payload gather); at large P the
+            # dependent SMEM->VMEM load chain loses ~13% to the table
+            # kernels' contiguous payload reads.  P is static per capacity
+            # bucket, so this is a trace-time constant, not a runtime branch.
+            backend = "pallas_table" if xyz.shape[0] > 16384 else "pallas_indirect"
+        if backend == "pallas_table":  # contiguous per-tile payload tables
             payload = build_payload(
                 pre, color, allmap, binning,
                 geo=render_geo, invd=compute_invdepth, ones=color_ones,
