@@ -30,7 +30,11 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
     from curve_gaussian_tpu.models import curve_state as cs
     from curve_gaussian_tpu.ops import binning as B
     from curve_gaussian_tpu.ops.projection import preprocess
-    from curve_gaussian_tpu.ops.rasterize_pallas import build_payload, tile_blend
+    from curve_gaussian_tpu.ops.rasterize_pallas import (
+        build_payload,
+        tile_blend,
+        untile_image,
+    )
 
     state_r = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
     gsr = cs.gaussians(state_r)
@@ -54,7 +58,7 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
         b = B.bin_gaussians(p, H, W, capacity=pipe_cfg.tile_capacity)
         pl = build_payload(p, col, amz, b, geo=False, invd=False, ones=True)
         c, _, _, _ = tile_blend(pl, b.counts, nty, ntx, False, False, True, bgr)
-        return (c[:H, :W] * gt0).sum()
+        return (untile_image(c, nty, ntx)[:H, :W] * gt0).sum()
 
     g_f = jax.jit(jax.grad(raster_loss))
     out = g_f(pre.mean2d)

@@ -42,6 +42,12 @@ from .binning import TILE_H, TILE_W, Binning
 from .projection import Preprocessed
 from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
+# native VPU register shape; one register holds one TILE_H x TILE_W spatial
+# tile (pixel p = 128*s + l maps to tile coords (p // TILE_W, p % TILE_W))
+REG_H = 8
+REG_W = 128
+assert TILE_H * TILE_W == REG_H * REG_W
+
 def field_layout(geo: bool, invd: bool, ones: bool):
     """Payload lane layout for a channel configuration.
 
@@ -198,11 +204,13 @@ def stack_fields(
 def _pixel_grids(dtype):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
+    # register (s, l) = tile pixel p = 128 s + l at (p // TILE_W, p % TILE_W).
     # Mosaic only lowers integer iota; cast afterwards.
-    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    px = (tx * TILE_W + ix).astype(dtype)
-    py = (ty * TILE_H + iy).astype(dtype)
+    il = jax.lax.broadcasted_iota(jnp.int32, (REG_H, REG_W), 1)
+    is_ = jax.lax.broadcasted_iota(jnp.int32, (REG_H, REG_W), 0)
+    p = is_ * REG_W + il
+    px = (tx * TILE_W + p % TILE_W).astype(dtype)
+    py = (ty * TILE_H + p // TILE_W).astype(dtype)
     return px, py
 
 
@@ -237,7 +245,7 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
     def body(get, counts_ref, bg_ref, col_ref, invd_ref, t_ref, am_ref, fdt):
         n = _count(counts_ref)
         px, py = _pixel_grids(fdt)
-        zero = jnp.zeros((TILE_H, TILE_W), fdt)
+        zero = jnp.zeros((REG_H, REG_W), fdt)
         one = zero + 1.0
 
         # two-phase pipeline: per _PIPE-instance sub-group, first compute
@@ -355,7 +363,7 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
     ):
         n = _count(counts_ref)
         px, py = _pixel_grids(fdt)
-        zero = jnp.zeros((TILE_H, TILE_W), fdt)
+        zero = jnp.zeros((REG_H, REG_W), fdt)
         dpay_ref[...] = jnp.zeros(dpay_ref.shape, fdt)
 
         outt = outt_ref[:, :]
@@ -383,11 +391,11 @@ def _make_bwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
         # color carries no payload lane (and its grad is discarded upstream)
         grad_chans = [ch for ch in chans if not (ones and ch == "col")]
         NG = 6 + len(grad_chans)  # mx,my,ca,cb,cc,opa + channel grads
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, TILE_W), 0)
-        zbuf = jnp.zeros((_CHUNK, TILE_W), fdt)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, REG_W), 0)
+        zbuf = jnp.zeros((_CHUNK, REG_W), fdt)
 
         def park(buf, i: int, v):
-            partial = jnp.sum(v, axis=0, keepdims=True)  # (1, TILE_W)
+            partial = jnp.sum(v, axis=0, keepdims=True)  # (1, REG_W)
             return jnp.where(sub8 == i, partial, buf)
 
         lane16 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
@@ -531,17 +539,17 @@ def _make_bwd_moment_kernel(indirect: bool = True):
              gc_ref, gt_ref, mom_ref, scr_ref):
         n = _count(counts_ref)
         px, py = _pixel_grids(fdt)
-        zero = jnp.zeros((TILE_H, TILE_W), fdt)
+        zero = jnp.zeros((REG_H, REG_W), fdt)
         mom_ref[...] = jnp.zeros(mom_ref.shape, fdt)
         outt = outt_ref[:, :]
         gt = gt_ref[:, :]
         gc = gc_ref[:, :]
         outc = outc_ref[:, :]
 
-        rows_per = _CHUNK * TILE_H  # 64 scratch rows per moment
+        rows_per = _CHUNK * REG_H  # 64 scratch rows per moment
         gi = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 0)
         ri = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 1)
-        S = jnp.where(ri // TILE_H == gi, 1.0, 0.0).astype(fdt)  # (8, 64)
+        S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)  # (8, 64)
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, NF), 1)
         zrow = jnp.zeros((_CHUNK, NF), fdt)
 
@@ -598,8 +606,8 @@ def _make_bwd_moment_kernel(indirect: bool = True):
                     ):
                         scr_ref[
                             pl.ds(
-                                rows_per * k + TILE_H * (s * _BPIPE + i),
-                                TILE_H,
+                                rows_per * k + REG_H * (s * _BPIPE + i),
+                                REG_H,
                             ),
                             :,
                         ] = v
@@ -676,7 +684,9 @@ def tile_blend(payload, counts, nty: int, ntx: int,
     geo/invd gate the allmap / inverse-depth channels: the training loss
     only consumes the color channel, so gating them off removes ~40% of the
     per-instance kernel work (gated outputs return zeros).
-    Returns (color [Hp,Wp], invdepth [Hp,Wp], final_T [Hp,Wp], allmap [4,Hp,Wp]).
+    Outputs are TILED [T*REG_H, REG_W] (allmap [4, T*REG_H, REG_W]):
+    row-block t holds tile t's TILE_H x TILE_W pixels in p = y*TILE_W + x
+    order.  untile_image()/untile_allmap() restore spatial [Hp, Wp].
     """
     out, _ = _tile_blend_fwd(payload, counts, nty, ntx, geo, invd, ones, bg)
     return out
@@ -687,7 +697,6 @@ def _tile_blend_fwd(payload, counts, nty: int, ntx: int,
                     bg=None):
     K = payload.shape[1]
     NF = payload.shape[2]
-    Hp, Wp = nty * TILE_H, ntx * TILE_W
     dt = payload.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -696,20 +705,20 @@ def _tile_blend_fwd(payload, counts, nty: int, ntx: int,
             pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j)),
-            pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j)),
-            pl.BlockSpec((4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j)),
+            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+            pl.BlockSpec((4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0)),
         ],
     )
     col, invd_img, finT, am = pl.pallas_call(
         _make_fwd_kernel(geo, invd, ones),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Hp, Wp), dt),
-            jax.ShapeDtypeStruct((Hp, Wp), dt),
-            jax.ShapeDtypeStruct((Hp, Wp), dt),
-            jax.ShapeDtypeStruct((4, Hp, Wp), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((4, nty * ntx * REG_H, REG_W), dt),
         ],
         interpret=_interpret(),
     )(counts, bg, payload)
@@ -726,9 +735,9 @@ def _tile_blend_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
     NF = payload.shape[2]
     dt = payload.dtype
     T = payload.shape[0]
-    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j))
+    img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
     am_spec = lambda: pl.BlockSpec(
-        (4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j)
+        (4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -808,22 +817,21 @@ def _tile_blend_ind_fwd(fields, idx, counts, nty: int, ntx: int,
                         geo: bool, invd: bool, ones: bool, bg=None):
     P1, NF = fields.shape
     K = idx.shape[1]
-    Hp, Wp = nty * TILE_H, ntx * TILE_W
     dt = fields.dtype
-    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j))
+    img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
     grid_spec = _ind_grid_spec(
         P1, NF, K, nty, ntx, [],
         [img(), img(), img(),
-         pl.BlockSpec((4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j))],
+         pl.BlockSpec((4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0))],
     )
     col, invd_img, finT, am = pl.pallas_call(
         _make_fwd_kernel(geo, invd, ones, indirect=True),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Hp, Wp), dt),
-            jax.ShapeDtypeStruct((Hp, Wp), dt),
-            jax.ShapeDtypeStruct((Hp, Wp), dt),
-            jax.ShapeDtypeStruct((4, Hp, Wp), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((4, nty * ntx * REG_H, REG_W), dt),
         ],
         interpret=_interpret(),
     )(counts, bg, idx.reshape(-1), fields)
@@ -839,9 +847,9 @@ def _tile_blend_ind_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
     P1, NF = fields.shape
     T, K = idx.shape
     dt = fields.dtype
-    img = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda i, j, c, b: (i, j))
+    img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
     am_spec = lambda: pl.BlockSpec(
-        (4, TILE_H, TILE_W), lambda i, j, c, b: (0, i, j)
+        (4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0)
     )
     dbg = jnp.sum(gc * finT, dtype=dt).reshape(bg.shape)
     if USE_MOMENT_BWD and ones and not geo and not invd:
@@ -860,7 +868,7 @@ def _tile_blend_ind_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
             out_specs=[
                 pl.BlockSpec((1, K, 8), lambda i, j, c, b: (i * ntx + j, 0, 0))
             ],
-            scratch_shapes=[pltpu.VMEM((6 * _CHUNK * TILE_H, TILE_W), dt)],
+            scratch_shapes=[pltpu.VMEM((6 * _CHUNK * REG_H, REG_W), dt)],
         )
         (mom,) = pl.pallas_call(
             _make_bwd_moment_kernel(indirect=True),
@@ -890,3 +898,32 @@ def _tile_blend_ind_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
 
 
 tile_blend_indirect.defvjp(_tile_blend_ind_fwd, _tile_blend_ind_bwd)
+
+
+# ---------------------------------------------------------------------------
+# tiled-layout <-> spatial-image conversion (pure XLA; autodiff transposes
+# it back for the kernels' incoming gradients)
+# ---------------------------------------------------------------------------
+
+
+def untile_image(x: jnp.ndarray, nty: int, ntx: int) -> jnp.ndarray:
+    """[T*REG_H, REG_W] tiled kernel output -> spatial [nty*TILE_H, ntx*TILE_W].
+
+    Row-block t is tile t's pixels in p = y*TILE_W + x order, so the (8,128)
+    block reinterprets directly as (TILE_H, TILE_W); one transpose
+    interleaves tiles into scanline order.
+    """
+    return (
+        x.reshape(nty, ntx, TILE_H, TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(nty * TILE_H, ntx * TILE_W)
+    )
+
+
+def untile_allmap(x: jnp.ndarray, nty: int, ntx: int) -> jnp.ndarray:
+    """[4, T*REG_H, REG_W] -> [4, nty*TILE_H, ntx*TILE_W]."""
+    return (
+        x.reshape(4, nty, ntx, TILE_H, TILE_W)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(4, nty * TILE_H, ntx * TILE_W)
+    )

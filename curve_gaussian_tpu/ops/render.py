@@ -37,6 +37,8 @@ from .rasterize_pallas import (
     stack_fields,
     tile_blend,
     tile_blend_indirect,
+    untile_allmap,
+    untile_image,
 )
 from .rasterize_ref import membership, rasterize_reference
 
@@ -119,9 +121,13 @@ def render(
             # v5e): small fields arrays live happily VMEM-resident and the
             # indirect kernels win ~5% (no payload gather); at large P the
             # dependent SMEM->VMEM load chain loses ~13% to the table
-            # kernels' contiguous payload reads.  P is static per capacity
-            # bucket, so this is a trace-time constant, not a runtime branch.
-            backend = "pallas_table" if xyz.shape[0] > 16384 else "pallas_indirect"
+            # kernels' contiguous payload reads.  Mosaic also accepts the
+            # indirect path's rank-1 SMEM index blocks only at K % 128 == 0,
+            # so odd capacities (small tests) take the table kernels.  P and
+            # K are static per capacity bucket — a trace-time constant, not
+            # a runtime branch.
+            indirect_ok = capacity % 128 == 0 and xyz.shape[0] <= 16384
+            backend = "pallas_indirect" if indirect_ok else "pallas_table"
         if backend == "pallas_table":  # contiguous per-tile payload tables
             payload = build_payload(
                 pre, color, allmap, binning,
@@ -140,8 +146,11 @@ def render(
                 fields, binning.gather_idx, binning.counts, nty, ntx,
                 render_geo, compute_invdepth, color_ones, bg_arr,
             )
-        img, invd, finT = img_p[:H, :W], invd_p[:H, :W], finT_p[:H, :W]
-        am = am_p[:, :H, :W]
+        # kernel outputs are tiled [T*8, 128]; untile then crop padding
+        img = untile_image(img_p, nty, ntx)[:H, :W]
+        invd = untile_image(invd_p, nty, ntx)[:H, :W]
+        finT = untile_image(finT_p, nty, ntx)[:H, :W]
+        am = untile_allmap(am_p, nty, ntx)[:, :H, :W]
         overflow = binning.overflow
 
     if exposure is not None:

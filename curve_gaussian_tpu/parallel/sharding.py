@@ -354,7 +354,7 @@ def tile_parallel_render(
     rendering is embarrassingly parallel across tiles)."""
     from ..ops.binning import TILE_H, bin_gaussians, tile_grid
     from ..ops.projection import preprocess
-    from ..ops.rasterize_pallas import build_payload, tile_blend
+    from ..ops.rasterize_pallas import build_payload, tile_blend, untile_image
     from ..ops.render import main_axis_allmap
 
     mesh = make_mesh(dict(mesh_shape)["data"])
@@ -408,6 +408,7 @@ def tile_parallel_render(
         )
         nty, ntx = tile_grid(rows_per_dev, W)
         img, _, _, _ = tile_blend(payload, binning.counts, nty, ntx, True, True, True, bg_arr)
+        img = untile_image(img, nty, ntx)
         return img[None, :rows_per_dev, :W]
 
     row_offsets = jnp.arange(n_dev, dtype=jnp.int32) * rows_per_dev
