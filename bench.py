@@ -111,7 +111,7 @@ def main():
     state = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
     ts = T.init_train_state(state)
     opt_cfg = OptimizationConfig()
-    pipe_cfg = PipelineConfig(tile_capacity=1024)
+    pipe_cfg = PipelineConfig()  # default tile_capacity (see config.py)
     bg = jnp.zeros(())
     print(
         f"setup {time.time()-t0:.1f}s; capacity {state.capacity} curves, "

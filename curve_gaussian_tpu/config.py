@@ -36,7 +36,13 @@ class PipelineConfig:
     render_geo: bool = True
     debug: bool = False
     # TPU-specific
-    tile_capacity: int = 1024  # max Gaussians per 8x128 pixel tile
+    # max Gaussians per 32x32 pixel tile (multiple of 8 for the gradient
+    # slab stores).  896 covers the worst-case seed grid (max tile count
+    # 829 at 512^2 / 49k splats) and trims the [T,K] gradient-table
+    # scatter/gathers ~12% vs 1024 (60.2 vs 57.5 it/s measured).  The
+    # optional indirect blend flavor needs a multiple of 1024 (Mosaic 1-D
+    # SMEM tiling) — render() falls back to the table kernels otherwise.
+    tile_capacity: int = 896
     backend: str = "pallas"  # 'pallas' | 'reference'
     # what the training driver does when a chunk reports dropped tile
     # candidates (ops/binning.py overflow): 'grow' doubles tile_capacity at

@@ -108,6 +108,11 @@ def _fast_exp(x):
     per-op interpretation and the tests' tolerances cover the 1e-6 gap."""
     if _interpret():
         return jnp.exp(x)
+    return fast_exp_bits(x)
+
+
+def fast_exp_bits(x):
+    """The bit-trick exp itself (ungated; see _fast_exp for the rationale)."""
     z = x * _LOG2E
     n = jnp.floor(z)
     f = z - n

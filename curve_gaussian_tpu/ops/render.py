@@ -122,11 +122,12 @@ def render(
             # indirect kernels win ~5% (no payload gather); at large P the
             # dependent SMEM->VMEM load chain loses ~13% to the table
             # kernels' contiguous payload reads.  Mosaic also accepts the
-            # indirect path's rank-1 SMEM index blocks only at K % 128 == 0,
-            # so odd capacities (small tests) take the table kernels.  P and
-            # K are static per capacity bucket — a trace-time constant, not
-            # a runtime branch.
-            indirect_ok = capacity % 128 == 0 and xyz.shape[0] <= 16384
+            # indirect path's rank-1 SMEM index blocks only at K % 1024 == 0
+            # (1-D arrays carry a (1024) tiling and blocks must divide it),
+            # so other capacities (small tests) take the table kernels.  P
+            # and K are static per capacity bucket — a trace-time constant,
+            # not a runtime branch.
+            indirect_ok = capacity % 1024 == 0 and xyz.shape[0] <= 16384
             backend = "pallas_indirect" if indirect_ok else "pallas_table"
         if backend == "pallas_table":  # contiguous per-tile payload tables
             payload = build_payload(

@@ -200,3 +200,24 @@ def test_debug_image_dumps_and_profile(tmp_path):
         assert any(name in f for f in imgs), imgs
     # profiler wrote a trace directory
     assert os.path.isdir(prof) and len(os.listdir(prof)) > 0
+
+
+def test_fast_exp_bits_accuracy_and_extremes():
+    """The kernel exp (2^n exponent construct + degree-5 poly) must match
+    libm exp to ~1e-6 relative over the rasterizer's power range and flush
+    extreme negatives to zero instead of wrapping the int32 exponent shift
+    (the wrap fabricated alpha=0.99 at far pixels when unclamped)."""
+    from curve_gaussian_tpu.ops.rasterize_pallas import fast_exp_bits
+
+    x = jnp.asarray(np.linspace(-87.0, 0.0, 20001), jnp.float32)
+    fe = np.asarray(fast_exp_bits(x))
+    ex = np.exp(np.asarray(x, np.float64))
+    rel = np.abs(fe - ex) / np.maximum(ex, 1e-300)
+    assert rel.max() < 5e-6, rel.max()
+    # extremes: huge negatives (far pixel vs tight conic) flush to 0
+    xe = jnp.asarray([-1e30, -5e4, -200.0, -128.0, 0.0], jnp.float32)
+    fee = np.asarray(fast_exp_bits(xe))
+    assert (fee[:4] == 0.0).all(), fee
+    assert abs(fee[4] - 1.0) < 3e-6
+    # and never negative / NaN anywhere sampled
+    assert np.isfinite(fe).all() and (fe >= 0).all()
