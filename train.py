@@ -14,6 +14,8 @@ import argparse
 import dataclasses
 import os
 
+from curve_gaussian_tpu.config import PipelineConfig as _PipeCfg
+
 
 def main():
     p = argparse.ArgumentParser(description="curve_gaussian_tpu trainer")
@@ -33,7 +35,8 @@ def main():
     p.add_argument("--preset", default=None,
                    choices=[None, "default", "pidinet", "replica", "mv2cyl"])
     p.add_argument("--backend", default="pallas", choices=["pallas", "reference"])
-    p.add_argument("--tile-capacity", type=int, default=1024)
+    p.add_argument("--tile-capacity", type=int,
+                   default=_PipeCfg.tile_capacity)
     p.add_argument("--n-gaussians", type=int, default=12)
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of one training chunk")
