@@ -203,6 +203,43 @@ def main():
             file=sys.stderr,
         )
 
+        # the driver's adaptive tile_capacity (engine/loop.py policy) shrinks
+        # the [T,K] gradient tables toward the observed per-tile peak at this
+        # operating point; measure at the K the policy would reach
+        from curve_gaussian_tpu.engine.loop import want_tile_capacity
+
+        pk = int(np.asarray(mm["tile_peak"]).max())
+        k_adapt = want_tile_capacity(pk, pipe_cfg.tile_capacity)
+        if k_adapt < pipe_cfg.tile_capacity:
+            import dataclasses as _dc
+
+            pipe_a = _dc.replace(pipe_cfg, tile_capacity=k_adapt)
+
+            def chunk_a(ts_m):
+                vi = jnp.arange(K, dtype=jnp.int32) % n_views
+                return T.train_steps_scan(
+                    ts_m, (w2c[vi], proj[vi], ctr[vi]), gt_all[vi], bg,
+                    opt_cfg, pipe_a, use_mask=True, n_gaussians=12,
+                    cam_geom=geom,
+                )
+
+            t0 = time.time()
+            ts_m, mm = chunk_a(ts_m)
+            float(np.asarray(mm["total"])[-1])
+            print(f"adaptive-K compile+chunk {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            t0 = time.time()
+            for _ in range(n_chunks):
+                ts_m, mm = chunk_a(ts_m)
+            float(np.asarray(mm["total"])[-1])
+            it_a = n_chunks * K / (time.time() - t0)
+            print(
+                f"mid-training @ adaptive tile_capacity {k_adapt} "
+                f"(peak {pk}): {it_a:.2f} it/s, "
+                f"{it_a * H * W / 1e6:.1f} Mpix/s",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {

@@ -12,9 +12,11 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import queue
 import random
+import threading
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, NamedTuple, Optional, Sequence, Set, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +72,165 @@ class JsonlLogger:
         self.f.close()
 
 
+class Chunk(NamedTuple):
+    """One compiled dispatch of the training loop: `k` live steps starting
+    after iteration `start`, padded to the `kp` bucket (no-op steps beyond
+    `k` via the n_active mask), with the static-loss flags that hold for
+    the whole chunk."""
+
+    start: int
+    k: int
+    kp: int
+    use_mask: bool
+    conn_on: bool
+
+
+def build_events(
+    first_iter: int,
+    opt_cfg: OptimizationConfig,
+    test_iterations: Sequence[int] = (),
+    save_iterations: Sequence[int] = (),
+    checkpoint_iterations: Sequence[int] = (),
+) -> Set[int]:
+    """Host-event boundaries: every iteration where surgery fires, the
+    explicit test/save/checkpoint sets, and a boundary right BEFORE each
+    static-loss flip (use_mask at densify_until, train.py:110; conn at
+    conn_from_iter+1, train.py:133)."""
+    events = set()
+    for i in range(first_iter + 1, opt_cfg.iterations + 1):
+        if surgery.schedule_fires(i, opt_cfg) or i == opt_cfg.densify_until_iter:
+            events.add(i)
+    events.add(opt_cfg.densify_until_iter - 1)
+    events.add(opt_cfg.conn_from_iter)
+    events.update(test_iterations)
+    events.update(save_iterations)
+    events.update(checkpoint_iterations)
+    events.add(opt_cfg.iterations)
+    return {e for e in events if first_iter < e <= opt_cfg.iterations}
+
+
+def chunk_plan(
+    first_iter: int,
+    opt_cfg: OptimizationConfig,
+    events: Set[int],
+    scan_chunk: int,
+) -> List[Chunk]:
+    """The deterministic chunk schedule for a whole run.
+
+    Chunk boundaries depend only on the config (events + scan_chunk), never
+    on runtime data — capacity re-buckets change array shapes, not
+    boundaries — so the full set of compiled (kp, use_mask, conn_on) shapes
+    is known up front and can be warmed ahead of first use (Prewarmer).
+    Chunks shorter than scan_chunk pad to a power-of-2 bucket `kp`; steps
+    past `k` are no-ops (n_active mask), so a handful of compiled scan
+    sizes serve every event-boundary length (compiles cost minutes over
+    the TPU tunnel)."""
+    plan: List[Chunk] = []
+    it = first_iter
+    while it < opt_cfg.iterations:
+        nxt = min([e for e in events if e > it] or [opt_cfg.iterations])
+        k = min(nxt - it, scan_chunk)
+        kp = scan_chunk if k == scan_chunk else min(
+            1 << (k - 1).bit_length() if k > 1 else 1, scan_chunk
+        )
+        plan.append(
+            Chunk(
+                it, k, kp,
+                (it + 1) >= opt_cfg.densify_until_iter,
+                (it + 1) > opt_cfg.conn_from_iter,
+            )
+        )
+        it += k
+    return plan
+
+
+def future_combos(plan: List[Chunk], from_iter: int) -> List[Tuple[int, bool, bool]]:
+    """Distinct (kp, use_mask, conn_on) step shapes used at or after
+    `from_iter`, ordered by first use."""
+    out: List[Tuple[int, bool, bool]] = []
+    for ch in plan:
+        if ch.start < from_iter:
+            continue
+        key = (ch.kp, ch.use_mask, ch.conn_on)
+        if key not in out:
+            out.append(key)
+    return out
+
+
+def want_tile_capacity(peak: int, cur: int, floor: int = 128) -> int:
+    """Adaptive tile-capacity policy: shrink K toward the observed per-tile
+    candidate peak.  The [T,K] gradient tables cost ~15 ns/ROW to reduce
+    regardless of occupancy (RESULTS.md), so after the 7k prune most of a
+    896-slot table is pure scatter waste — at reference scale (700 tiles)
+    that's ~9 ms/step.  2x headroom over the peak, power-of-two, never
+    below `floor` (raised whenever a K overflowed), and a >=25% reduction
+    margin (hysteresis) so transient dips don't thrash recompiles."""
+    want = floor
+    while want < 2 * peak:
+        want *= 2
+    want = min(want, cur)
+    return want if want <= 3 * cur // 4 else cur
+
+
+class Prewarmer:
+    """Background AOT compile service for the training driver.
+
+    Remote-tunnel compiles cost 60-130 s each; the compile helper is
+    chipless, so warming runs concurrent with training.  Jobs (lists of
+    lower+compile thunks populating the persistent compile cache) are
+    prioritized by the iteration at which their shape is first needed.
+    `execute=False` drains jobs without compiling (CPU tests); `block=True`
+    never drains them (deferral tests)."""
+
+    def __init__(self, enabled: bool, execute: bool = True, block: bool = False):
+        self.enabled = enabled
+        self.execute = execute
+        self.block = block
+        self._q: "queue.PriorityQueue" = queue.PriorityQueue()
+        self._seq = 0
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    def submit(self, need_iter: int, thunks, done_evt=None, valid=None) -> None:
+        """Queue a compile job.  `valid` (optional callable) is re-checked
+        when the job is popped: background compiles cost real contention on
+        the remote compile helper, so jobs whose target config the run has
+        moved past are dropped instead of compiled (their done_evt is then
+        never set — nobody should switch to a stale bucket)."""
+        if not self.enabled:
+            return
+        with self._lock:
+            self._q.put((need_iter, self._seq, list(thunks), done_evt, valid))
+            self._seq += 1
+            if self._thread is None and not self.block:
+                self._thread = threading.Thread(target=self._work, daemon=True)
+                self._thread.start()
+
+    def _work(self) -> None:
+        while True:
+            try:
+                _, _, thunks, evt, valid = self._q.get(timeout=2.0)
+            except queue.Empty:
+                with self._lock:
+                    if self._q.empty():
+                        self._thread = None
+                        return
+                continue
+            try:
+                if valid is not None and not valid():
+                    continue  # stale: config moved on, skip the compile
+            except Exception:  # pragma: no cover - best effort
+                pass
+            for t in thunks:
+                try:
+                    if self.execute:
+                        t()
+                except Exception as e:  # pragma: no cover - best effort
+                    print(f"prewarm failed: {e}", flush=True)
+            if evt is not None:
+                evt.set()
+
+
 @dataclasses.dataclass
 class TrainResult:
     ts: TrainState
@@ -113,7 +274,10 @@ def train_scene(
     try:  # persistent compile cache (idempotent; compiles cost minutes here)
         import jax as _jx
 
-        _jx.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+        _jx.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("CGT_CACHE_DIR", "/root/.cache/jax_cache"),
+        )
         _jx.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
@@ -181,114 +345,196 @@ def train_scene(
                 flush=True,
             )
 
-    # host-event boundaries: every iteration where surgery fires, plus the
-    # explicit test/save/checkpoint sets and the use_mask flip
-    events = set()
-    for i in range(first_iter + 1, opt_cfg.iterations + 1):
-        if surgery.schedule_fires(i, opt_cfg) or i == opt_cfg.densify_until_iter:
-            events.add(i)
-    # static-loss flips need a chunk boundary right BEFORE their first
-    # active iteration: use_mask at densify_until (train.py:110), conn at
-    # conn_from_iter+1 (train.py:133)
-    events.add(opt_cfg.densify_until_iter - 1)
-    events.add(opt_cfg.conn_from_iter)
-    events.update(t for t in test_iterations)
-    events.update(t for t in save_iterations)
-    events.update(t for t in checkpoint_iterations)
-    events.add(opt_cfg.iterations)
+    # the whole run's chunk schedule is deterministic (config-only): every
+    # compiled (kp, use_mask, conn_on) step shape is known up front
+    events = build_events(
+        first_iter, opt_cfg, test_iterations, save_iterations,
+        checkpoint_iterations,
+    )
+    plan = chunk_plan(first_iter, opt_cfg, events, scan_chunk)
 
-    # flag-variant pre-warm: the (use_mask, conn_on) combos this run will
-    # reach are known from the config; compile the NOT-yet-active variants
-    # in a background thread (AOT lower+compile populates the persistent
-    # compilation cache) so the flips at densify_until/conn_from don't stall
-    # the driver for minutes of tunnel compile time.
-    def _flag_variants(from_iter: int):
-        out = []
-        for i in (from_iter + 1, opt_cfg.densify_until_iter,
-                  opt_cfg.conn_from_iter + 1, opt_cfg.iterations):
-            if from_iter < i <= opt_cfg.iterations:
-                f = (i >= opt_cfg.densify_until_iter, i > opt_cfg.conn_from_iter)
-                if f not in out:
-                    out.append(f)
-        return out
+    import jax as _jax
 
-    def _spawn_prewarm(ts_now, from_iter: int):
-        import jax as _jax
+    _backend_tpu = _jax.default_backend() != "cpu"
+    prewarmer = Prewarmer(
+        enabled=(_backend_tpu or bool(os.environ.get("CGT_FORCE_PREWARM")))
+        and not os.environ.get("CGT_NO_PREWARM"),
+        execute=_backend_tpu,
+        block=bool(os.environ.get("CGT_DEFER_BLOCK")),
+    )
+    defer_on = prewarmer.enabled and not os.environ.get("CGT_NO_DEFER")
+    # warm-state per compiled (curve capacity, tile_capacity) bucket
+    bucket_ready: Dict[Tuple[int, int], threading.Event] = {}
+    _sds = lambda a: _jax.ShapeDtypeStruct(a.shape, a.dtype)
+    _bg_s = _sds(bg)
+    _scalar_s = _jax.ShapeDtypeStruct((), jnp.int32)
 
-        if _jax.default_backend() == "cpu" or os.environ.get("CGT_NO_PREWARM"):
-            return
-        variants = _flag_variants(from_iter)[1:]  # head compiles on next call
-        if not variants:
-            return
+    def _state_shapes(ts_now, cap_new: int):
+        """ShapeDtypeStructs of a TrainState re-bucketed to cap_new.
 
-        def work():
-            sds = lambda a: _jax.ShapeDtypeStruct(a.shape, a.dtype)
-            ts_s = _jax.tree.map(sds, ts_now)
-            kp_ = scan_chunk
+        Leading dims equal to the capacity C (or C*m, the per-Gaussian
+        stats) are resized; anything else (exposure [n_views,...], scalars)
+        passes through.  Shape-only — used to warm compiles for buckets
+        that don't exist yet."""
+        C = ts_now.alive.shape[0]
+
+        def f(a):
+            shp = a.shape
+            if a.ndim >= 1 and shp[0] == C:
+                shp = (cap_new,) + shp[1:]
+            elif a.ndim >= 1 and shp[0] == C * m:
+                shp = (cap_new * m,) + shp[1:]
+            return _jax.ShapeDtypeStruct(shp, a.dtype)
+
+        return _jax.tree.map(f, ts_now)
+
+    def _combo_thunk(ts_shapes, pipe, kp: int, um: bool, co: bool):
+        def thunk():
             if parallel:
                 cam_s = tuple(
-                    _jax.ShapeDtypeStruct((kp_, B) + a.shape[1:], a.dtype)
+                    _jax.ShapeDtypeStruct((kp, B) + a.shape[1:], a.dtype)
                     for a in (w2c_all, proj_all, ctr_all)
                 )
-                gt_s = _jax.ShapeDtypeStruct((kp_, B) + gt_all.shape[1:],
-                                             gt_all.dtype)
+                gt_s = _jax.ShapeDtypeStruct(
+                    (kp, B) + gt_all.shape[1:], gt_all.dtype
+                )
+                ps.parallel_train_steps_scan.lower(
+                    ts_shapes, cam_s, gt_s, _bg_s, opt_cfg, pipe,
+                    use_mask=um, mesh_shape=(("data", ndev),),
+                    cam_geom=cam_geom, conn_on=co, n_active=_scalar_s,
+                ).compile()
             else:
                 cam_s = tuple(
-                    _jax.ShapeDtypeStruct((kp_,) + a.shape[1:], a.dtype)
+                    _jax.ShapeDtypeStruct((kp,) + a.shape[1:], a.dtype)
                     for a in (w2c_all, proj_all, ctr_all)
                 )
-                gt_s = _jax.ShapeDtypeStruct((kp_,) + gt_all.shape[1:],
-                                             gt_all.dtype)
-            scalar = _jax.ShapeDtypeStruct((), jnp.int32)
-            bg_s = sds(bg)
-            for um, co in variants:
-                try:
-                    if parallel:
-                        ps.parallel_train_steps_scan.lower(
-                            ts_s, cam_s, gt_s, bg_s, opt_cfg, pipe_cfg,
-                            use_mask=um, mesh_shape=(("data", ndev),),
-                            cam_geom=cam_geom, conn_on=co, n_active=scalar,
-                        ).compile()
-                    else:
-                        train_steps_scan.lower(
-                            ts_s, cam_s, gt_s, bg_s, opt_cfg, pipe_cfg,
-                            use_mask=um, n_gaussians=m, cam_geom=cam_geom,
-                            conn_on=co, n_active=scalar,
-                        ).compile()
-                except Exception as e:  # pragma: no cover - best effort
-                    print(f"prewarm ({um},{co}) failed: {e}", flush=True)
+                gt_s = _jax.ShapeDtypeStruct(
+                    (kp,) + gt_all.shape[1:], gt_all.dtype
+                )
+                train_steps_scan.lower(
+                    ts_shapes, cam_s, gt_s, _bg_s, opt_cfg, pipe,
+                    use_mask=um, n_gaussians=m, cam_geom=cam_geom,
+                    conn_on=co, n_active=_scalar_s,
+                ).compile()
 
-        import threading
+        return thunk
 
-        threading.Thread(target=work, daemon=True).start()
+    def _eval_thunk(ts_shapes, pipe, um: bool):
+        def thunk():
+            cam_s = _jax.tree.map(_sds, test_cameras[0])
+            eval_render.lower(
+                ts_shapes, cam_s, pipe, _bg_s, use_mask=um,
+                n_gaussians=m, mask_threshold=opt_cfg.mask_threshold,
+            ).compile()
 
-    _spawn_prewarm(ts, first_iter)
+        return thunk
 
-    iteration = first_iter
+    # live config the worker's validity checks read: stale jobs (buckets
+    # the run moved past) are dropped rather than compiled — each compile
+    # costs minutes of real contention on the remote compile helper
+    live = {
+        "cap": ts.alive.shape[0],
+        "K": pipe_cfg.tile_capacity,
+        "pending_cap": None,
+        "pending_K": None,
+        "alive": int(jnp.sum(ts.alive)),
+        "iter": first_iter,
+    }
+
+    def _submit_bucket_warm(ts_like, cap: int, pipe, from_iter: int,
+                            skip_head: bool, done_evt=None) -> None:
+        """Warm the step shapes used from `from_iter` on, at capacity `cap`
+        with pipeline config `pipe` (tile_capacity may differ from the live
+        one), plus the test-eval render.  One job per combo, prioritized by
+        TRUE first-use iteration; `done_evt` fires after the combo the run
+        needs soonest, so a bucket switch doesn't wait on shapes needed
+        thousands of iterations later (foreground compiles cover a miss)."""
+        shapes = _state_shapes(ts_like, cap)
+        K = pipe.tile_capacity
+
+        def valid():
+            return (
+                cap in (live["cap"], live["pending_cap"])
+                and K in (live["K"], live["pending_K"])
+            )
+
+        combos = future_combos(plan, from_iter)
+        firsts = {}
+        for ch in plan:
+            if ch.start >= from_iter:
+                firsts.setdefault((ch.kp, ch.use_mask, ch.conn_on), ch.start)
+        if skip_head and combos:
+            combos = combos[1:]  # the next chunk compiles it in foreground
+        if not combos and done_evt is not None:
+            done_evt.set()
+        for i, c in enumerate(combos):
+            prewarmer.submit(
+                from_iter + 1 if i == 0 else firsts[c],
+                [_combo_thunk(shapes, pipe, *c)],
+                done_evt=done_evt if i == 0 else None,
+                valid=valid,
+            )
+        if test_cameras:
+            for t in test_iterations:
+                if t > from_iter:
+                    prewarmer.submit(
+                        t,
+                        [_eval_thunk(
+                            shapes, pipe, t >= opt_cfg.densify_until_iter
+                        )],
+                        valid=valid,
+                    )
+                    break  # one per bucket; later evals share the shape
+
+    # warm the current bucket's future shapes (head compiles in foreground
+    # on the first chunk), and speculatively the next bucket UP: densify can
+    # at most double the curve count, so one bucket covers any growth —
+    # without it the first densify event stalls the driver for a compile.
+    _submit_bucket_warm(
+        ts, ts.alive.shape[0], pipe_cfg, first_iter, skip_head=True
+    )
+    growth_events = [
+        i
+        for i in range(first_iter + 1, opt_cfg.densify_until_iter)
+        if i > opt_cfg.densify_from_iter
+        and i % opt_cfg.densification_interval == 0
+    ]
+    def _growth_valid(base_cap: int, g_events):
+        def v():
+            return (
+                live["cap"] == base_cap
+                and any(e > live["iter"] for e in g_events)
+                and cs.round_capacity(2 * live["alive"]) > base_cap
+            )
+
+        return v
+
+    if growth_events:
+        g0 = growth_events[0]
+        gc = future_combos(plan, g0)[:1]
+        if gc:
+            prewarmer.submit(
+                g0,
+                [_combo_thunk(
+                    _state_shapes(ts, ts.alive.shape[0] * 2), pipe_cfg,
+                    *gc[0],
+                )],
+                valid=_growth_valid(ts.alive.shape[0], growth_events),
+            )
+    k_floor = 128  # raised whenever a tile_capacity overflows
+    peak_window: List[int] = []
+
     profiled = False
-    while iteration < opt_cfg.iterations:
-        next_event = min(
-            [e for e in events if e > iteration] or [opt_cfg.iterations]
-        )
-        k = min(next_event - iteration, scan_chunk)
+    for ch in plan:
+        iteration, k, kp = ch.start, ch.k, ch.kp
+        use_mask, conn_on = ch.use_mask, ch.conn_on
         idxs = []
         for _ in range(k * B):
             if not view_stack:
                 view_stack = list(range(len(cameras)))
             idxs.append(view_stack.pop(rng.randrange(len(view_stack))))
-        # pad the chunk to a power-of-2 bucket: steps >= k are no-ops
-        # (n_active mask), so a handful of compiled scan sizes serve every
-        # event-boundary chunk length instead of recompiling per distinct k
-        # (compiles cost minutes over the TPU tunnel).  On the default
-        # schedule nearly all chunks are exactly scan_chunk, so padding
-        # waste is ~zero; worst case is <2x on one boundary chunk.
-        kp = scan_chunk if k == scan_chunk else min(
-            1 << (k - 1).bit_length() if k > 1 else 1, scan_chunk
-        )
         idxs = idxs + [idxs[-1]] * ((kp - k) * B)
         n_active = jnp.asarray(k, jnp.int32)
-        use_mask = (iteration + 1) >= opt_cfg.densify_until_iter
-        conn_on = (iteration + 1) > opt_cfg.conn_from_iter
         t_chunk = time.time()
         # profile the SECOND chunk (first is compile-dominated): the TPU
         # equivalent of the reference's CUDA-event timing (train.py:56-57)
@@ -338,7 +584,10 @@ def train_scene(
         tol = pipe_cfg.overflow_tolerance * float(
             metrics.get("n_visible", np.zeros(1)).sum()
         )
+        if "tile_peak" in metrics and len(metrics["tile_peak"]):
+            peak_window.append(int(metrics["tile_peak"].max()))
         if 0 < ov <= tol:
+            k_floor = max(k_floor, pipe_cfg.tile_capacity)
             print(
                 f"[{iteration + k:6d}] binning dropped {ov} tile candidates "
                 f"(within tolerance {tol:.0f}; occluded tail, not growing)",
@@ -367,6 +616,8 @@ def train_scene(
                         pipe_cfg.tile_capacity * 2, pipe_cfg.max_tile_capacity
                     ),
                 )
+                k_floor = max(k_floor, pipe_cfg.tile_capacity)
+                live["K"] = pipe_cfg.tile_capacity
                 print(
                     f"[{iteration + k:6d}] growing tile_capacity -> "
                     f"{pipe_cfg.tile_capacity} (recompile at next chunk)",
@@ -381,20 +632,107 @@ def train_scene(
             if it_j % log_every == 0:
                 logger.log(it_j, {kk: v[j] for kk, v in metrics.items()})
         iteration += k
+        live["iter"] = iteration
         if iteration % (log_every * 50) < k:
             logger.progress(iteration, int(jnp.sum(ts.alive)))
 
         ts2 = surgery.apply_schedule(ts, iteration, opt_cfg)
         if ts2 is not ts:
-            if ts2.alive.shape[0] != ts.alive.shape[0]:
-                _spawn_prewarm(ts2, iteration)  # capacity re-bucketed
+            old_cap, new_cap = ts.alive.shape[0], ts2.alive.shape[0]
+            if new_cap < old_cap and defer_on:
+                # capacity shrink: never stall on its compile.  Warm the
+                # small bucket in the background and keep training at the
+                # old (already-compiled) capacity — the padded rows cost
+                # ~3 ms/step, a recompile stall costs 60-130 s — switching
+                # at the first event after the warm completes.
+                bkey = (new_cap, pipe_cfg.tile_capacity)
+                evt = bucket_ready.get(bkey)
+                if evt is None:
+                    evt = threading.Event()
+                    bucket_ready[bkey] = evt
+                    live["pending_cap"] = new_cap
+                    _submit_bucket_warm(
+                        ts2, new_cap, pipe_cfg, iteration,
+                        skip_head=False, done_evt=evt,
+                    )
+                if not evt.is_set():
+                    ts2 = surgery.repack(
+                        surgery.extract(ts2), ts2, capacity=old_cap
+                    )
+                    live["pending_cap"] = new_cap
+                    if not quiet:
+                        print(
+                            f"[{iteration:6d}] deferring capacity "
+                            f"{old_cap}->{new_cap} until its compile warms",
+                            flush=True,
+                        )
+                else:
+                    live["pending_cap"] = None
+            elif new_cap > old_cap:
+                live["pending_cap"] = None
+                # growth: the head shape was (speculatively) warmed at 2x;
+                # warm the rest of this bucket's shapes and the next bucket
+                # up if densify events remain
+                _submit_bucket_warm(
+                    ts2, new_cap, pipe_cfg, iteration, skip_head=True
+                )
+                rem = [i for i in growth_events if i > iteration]
+                if rem:
+                    gc = future_combos(plan, rem[0])[:1]
+                    if gc:
+                        prewarmer.submit(
+                            rem[0],
+                            [_combo_thunk(
+                                _state_shapes(ts2, new_cap * 2), pipe_cfg,
+                                *gc[0],
+                            )],
+                        )
             ts = ts2
+            live["cap"] = ts.alive.shape[0]
+            live["alive"] = int(jnp.sum(ts.alive))
             if not quiet:
                 print(
-                    f"[{iteration:6d}] surgery -> {int(jnp.sum(ts.alive))} curves"
-                    f" (capacity {ts.alive.shape[0]})",
+                    f"[{iteration:6d}] surgery -> {live['alive']} curves"
+                    f" (capacity {live['cap']})",
                     flush=True,
                 )
+
+        # adaptive tile_capacity: shrink the [T,K] tables toward the
+        # observed per-tile peak (same warm-before-switch protocol as the
+        # curve-capacity deferral; switches happen only at chunk
+        # boundaries, and only once the small-K compile is cached)
+        if defer_on and peak_window and iteration < opt_cfg.iterations:
+            want = want_tile_capacity(
+                max(peak_window[-3:]), pipe_cfg.tile_capacity, k_floor
+            )
+            if want < pipe_cfg.tile_capacity:
+                # while a curve-capacity shrink is in flight, warm the small
+                # K at the INCOMING capacity so both switches share a compile
+                tcap = live["pending_cap"] if live["pending_cap"] is not None \
+                    else ts.alive.shape[0]
+                pipe_want = dataclasses.replace(pipe_cfg, tile_capacity=want)
+                bkey = (tcap, want)
+                evt = bucket_ready.get(bkey)
+                if evt is None:
+                    evt = threading.Event()
+                    bucket_ready[bkey] = evt
+                    live["pending_K"] = want
+                    _submit_bucket_warm(
+                        ts, tcap, pipe_want, iteration,
+                        skip_head=False, done_evt=evt,
+                    )
+                if evt.is_set() and ts.alive.shape[0] == tcap:
+                    pk = max(peak_window[-3:])
+                    pipe_cfg = pipe_want
+                    live["K"] = want
+                    live["pending_K"] = None
+                    peak_window.clear()
+                    if not quiet:
+                        print(
+                            f"[{iteration:6d}] shrinking tile_capacity -> "
+                            f"{want} (observed peak {pk}, compile warm)",
+                            flush=True,
+                        )
 
         if iteration in test_iterations and test_cameras:
             l1s, psnrs = [], []

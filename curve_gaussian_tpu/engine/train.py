@@ -119,12 +119,14 @@ def _train_step_impl(
             state, out, gauss, gt_image, opt_cfg, use_mask, conn_on=conn_on
         )
         return loss, (aux, out["visibility"] & gauss["alive"], out["radii"],
-                      out["overflow"])
+                      out["overflow"], out["tile_peak"])
 
     offset0 = jnp.zeros((P, 2), jnp.float32)
-    (loss, (aux, visible, radii, overflow)), (gparams, goffset) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(ts.params, offset0)
+    (loss, (aux, visible, radii, overflow, tile_peak)), (gparams, goffset) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            ts.params, offset0
+        )
+    )
 
     lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
     lrs = dict(lrs)
@@ -153,6 +155,7 @@ def _train_step_impl(
     metrics = dict(aux)
     metrics["overflow"] = overflow
     metrics["n_visible"] = jnp.sum(visible)
+    metrics["tile_peak"] = tile_peak
     return new_ts, metrics
 
 

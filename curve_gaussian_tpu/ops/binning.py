@@ -69,6 +69,10 @@ class Binning(NamedTuple):
     slot_valid: jnp.ndarray  # [T, K] bool
     counts: jnp.ndarray  # [T] int32 (clamped to K)
     overflow: jnp.ndarray  # [] int32 — candidates dropped by K / max_rect / big tier
+    peak: jnp.ndarray  # [] int32 — max per-tile candidate count BEFORE the
+    # K clamp; the driver's adaptive tile-capacity policy shrinks K toward
+    # the observed peak (the [T,K] gradient tables cost ~15 ns/row to
+    # reduce, so idle K rows are pure scatter waste)
 
 
 class _Rect(NamedTuple):
@@ -262,6 +266,7 @@ def _bin_sort(
         slot_valid=slot_valid,
         counts=counts.astype(jnp.int32),
         overflow=overflow,
+        peak=jnp.max(raw).astype(jnp.int32),
     )
 
 
@@ -314,4 +319,5 @@ def _bin_pairs(pre: Preprocessed, nty: int, ntx: int, K: int, max_rect: int):
         slot_valid=slot_valid,
         counts=counts.astype(jnp.int32),
         overflow=overflow,
+        peak=jnp.max(total).astype(jnp.int32),
     )

@@ -171,4 +171,5 @@ def render(
         "radii": pre.radius,
         "visibility": pre.radius > 0,
         "overflow": overflow,
+        "tile_peak": binning.peak,
     }

@@ -114,13 +114,16 @@ def _one_view_grads(
             out["visibility"] & gauss["alive"],
             out["radii"],
             out["overflow"],
+            out["tile_peak"],
         )
 
     offset0 = jnp.zeros((P_g, 2), jnp.float32)
-    (loss, (total, visible, radii, overflow)), (gp, goff) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
-    )(params, offset0)
-    return gp, goff, total, visible, radii, overflow
+    (loss, (total, visible, radii, overflow, tile_peak)), (gp, goff) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            params, offset0
+        )
+    )
+    return gp, goff, total, visible, radii, overflow, tile_peak
 
 
 def _local_batch_step(
@@ -145,8 +148,8 @@ def _local_batch_step(
     P_g = ts.alive.shape[0] * ts.params["mask_raw"].shape[1]
 
     def body(carry, idx):
-        gp_acc, goff_acc, tot_acc, ov_acc, vis_acc, rad_acc = carry
-        gp, goff, total, visible, radii, ov = _one_view_grads(
+        gp_acc, goff_acc, tot_acc, ov_acc, vis_acc, rad_acc, pk_acc = carry
+        gp, goff, total, visible, radii, ov, pk = _one_view_grads(
             ts.params,
             (ts.is_bezier, ts.alive),
             (w2c[idx], proj[idx], ctr[idx]),
@@ -165,6 +168,7 @@ def _local_batch_step(
             ov_acc + ov,
             vis_acc | visible,
             jnp.maximum(rad_acc, radii),
+            jnp.maximum(pk_acc, pk),
         ), None
 
     init = (
@@ -174,8 +178,9 @@ def _local_batch_step(
         jnp.zeros((), jnp.int32),
         jnp.zeros((P_g,), bool),
         jnp.zeros((P_g,), jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
-    (gp, goff, tot, ov, vis, rad), _ = jax.lax.scan(
+    (gp, goff, tot, ov, vis, rad, peak), _ = jax.lax.scan(
         body, init, jnp.arange(nb)
     )
     nglobal = nb * jax.lax.psum(1, "data")
@@ -185,6 +190,7 @@ def _local_batch_step(
     ov = jax.lax.psum(ov, "data")
     vis = jax.lax.psum(vis.astype(jnp.int32), "data") > 0
     rad = jax.lax.pmax(rad, "data")
+    peak = jax.lax.pmax(peak, "data")
 
     lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
     lrs = dict(lrs)
@@ -209,6 +215,7 @@ def _local_batch_step(
         "total": tot,
         "overflow": ov,
         "n_visible": jnp.sum(vis),
+        "tile_peak": peak,
     }
     return new_ts, metrics
 
