@@ -54,6 +54,7 @@ class JsonlLogger:
         if extra:
             row.update(extra)
         self.f.write(json.dumps(row) + "\n")
+        self.f.flush()  # rows must be visible while the run is live
         for k, v in metrics.items():
             self.ema[k] = 0.4 * float(v) + 0.6 * self.ema.get(k, float(v))
 

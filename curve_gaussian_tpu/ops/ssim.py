@@ -62,15 +62,25 @@ def _blur(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("window_size",))
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over [..., H, W] single-channel images."""
-    mu1 = _blur(img1, window_size)
-    mu2 = _blur(img2, window_size)
+    """Mean SSIM over [..., H, W] single-channel images.
+
+    The five blurred moment maps (mu1, mu2, E[x^2], E[y^2], E[xy]) ride ONE
+    batched matmul pair — a [..., 5, H, W] stack — instead of five separate
+    blur calls: the MXU sees one big contraction per direction and the
+    backward (transposed band matmuls over the same stack) batches the same
+    way."""
+    stack = jnp.stack(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-3
+    )
+    mu1, mu2, e11, e22, e12 = jnp.moveaxis(
+        _blur(stack, window_size), -3, 0
+    )
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu12 = mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window_size) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window_size) - mu2_sq
-    sigma12 = _blur(img1 * img2, window_size) - mu12
+    sigma1_sq = e11 - mu1_sq
+    sigma2_sq = e22 - mu2_sq
+    sigma12 = e12 - mu12
     ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
     )
