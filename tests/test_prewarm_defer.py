@@ -163,6 +163,39 @@ def shrink_run(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_adaptive_tile_capacity_shrinks_mid_run(tmp_path, monkeypatch):
+    """A run whose per-tile peaks sit far below tile_capacity must shrink K
+    via the warm-before-switch policy (engine/loop.py adaptive block)."""
+    from curve_gaussian_tpu.data import synthetic
+    from curve_gaussian_tpu.engine.loop import train_scene
+
+    monkeypatch.setenv("CGT_FORCE_PREWARM", "1")
+    monkeypatch.delenv("CGT_DEFER_BLOCK", raising=False)
+    scene = synthetic.make_scene(
+        seed=4, n_curves=2, n_lines=1, n_views=4, height=64, width=128
+    )
+    seeds = scene.curves.mean(axis=1).astype(np.float32)
+    opt = dataclasses.replace(
+        OptimizationConfig(),
+        iterations=30,
+        densify_from_iter=100,
+        densify_until_iter=10,
+        densification_interval=1000,
+        conn_from_iter=10,
+        position_lr_max_steps=100,
+    )
+    # 3 curves x 4 gaussians over a 2x4-tile image: peaks are tiny, so the
+    # policy must reach the 128 floor from 896
+    pipe = PipelineConfig(tile_capacity=896)
+    res = train_scene(
+        scene.cameras, scene.edge_maps, seeds, ModelConfig(n_gaussians=4),
+        opt, pipe, str(tmp_path / "adapt"), quiet=True, scan_chunk=8,
+    )
+    assert res.pipe_cfg.tile_capacity == 128
+    assert int(res.ts.step) == 30
+
+
+@pytest.mark.slow
 def test_shrink_defers_while_compile_pending(shrink_run, monkeypatch):
     monkeypatch.setenv("CGT_FORCE_PREWARM", "1")
     monkeypatch.setenv("CGT_DEFER_BLOCK", "1")
