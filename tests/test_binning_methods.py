@@ -46,6 +46,9 @@ def test_methods_agree_exactly(rng, big_fraction):
     np.testing.assert_array_equal(np.asarray(bs.counts), np.asarray(bp.counts))
     np.testing.assert_array_equal(_tables(bs), _tables(bp))
     assert int(bs.overflow) == 0 and int(bp.overflow) == 0
+    # peak = max per-tile candidate count pre-clamp, identical across
+    # constructions and consistent with the counts (no overflow here)
+    assert int(bs.peak) == int(bp.peak) == int(np.asarray(bs.counts).max())
 
 
 def test_big_tier_covers_large_rects(rng):
