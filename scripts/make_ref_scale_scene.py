@@ -28,6 +28,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
     p.add_argument("--size", type=int, default=1600)
+    p.add_argument("--height", type=int, default=None,
+                   help="non-square images (e.g. 680 with --size 1200 for "
+                        "the Replica protocol); default = --size")
     p.add_argument("--views", type=int, default=50)
     p.add_argument("--curves", type=int, default=24)
     p.add_argument("--lines", type=int, default=8)
@@ -57,7 +60,8 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     cp, is_bez = synthetic.random_curves(rng, args.curves, args.lines)
-    H = W = args.size
+    W = args.size
+    H = args.height or args.size
     cams = synthetic.ring_cameras(args.views, H, W)
 
     g = bezier.curve_gaussians(
