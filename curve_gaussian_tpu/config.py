@@ -104,10 +104,14 @@ class OptimizationConfig:
     threshold_angle_skip: float = 30.0
     distance_threshold: float = 0.02
     similarity_threshold: float = 0.97
-    # schedule cadences (train.py:202-211)
-    prune_trim_interval: int = 1000  # at iter % 1000 == 500, > densify_until
-    split_interval: int = 1000  # at iter % 1000 == 0, > 3000
-    merge_interval: int = 1000  # at iter % 1000 == 0, > densify_until
+    # schedule cadences (train.py:202-211): prune/trim fires at the interval
+    # half-phase (reference: iter % 1000 == 500, > densify_until), split at
+    # the full phase past split_from_iter (reference: % 1000 == 0, > 3000),
+    # merge at the full phase past densify_until
+    prune_trim_interval: int = 1000
+    split_interval: int = 1000
+    split_from_iter: int = 3000  # the reference's train.py:206 literal
+    merge_interval: int = 1000
 
 
 def pidinet_preset(opt: Optional[OptimizationConfig] = None) -> OptimizationConfig:

@@ -513,7 +513,13 @@ def fix_opacity_host(host: HostCurves, floor: float = 0.6) -> HostCurves:
 
 def schedule_fires(iteration: int, opt: OptimizationConfig) -> bool:
     """True when apply_schedule would do any work at `iteration` — the
-    training loop must place a chunk boundary at every such iteration."""
+    training loop must place a chunk boundary at every such iteration.
+    Cadences come from the config (reference literals as defaults:
+    prune/trim at %1000==500, split at %1000==0 past 3000, merge at
+    %1000==0 past densify_until — train.py:202-211)."""
+    pti, si, mi = (
+        opt.prune_trim_interval, opt.split_interval, opt.merge_interval
+    )
     if iteration < opt.densify_until_iter:
         if (
             iteration > opt.densify_from_iter
@@ -522,12 +528,16 @@ def schedule_fires(iteration: int, opt: OptimizationConfig) -> bool:
             return True
     if iteration == opt.densify_until_iter:
         return True
-    if iteration % 1000 == 500 and iteration > opt.densify_until_iter:
-        return True
-    if iteration % 1000 == 0 and iteration > 3000 and iteration != opt.iterations:
+    if iteration % pti == pti // 2 and iteration > opt.densify_until_iter:
         return True
     if (
-        iteration % 1000 == 0 and iteration > opt.densify_until_iter
+        iteration % si == 0
+        and iteration > opt.split_from_iter
+        and iteration != opt.iterations
+    ):
+        return True
+    if (
+        iteration % mi == 0 and iteration > opt.densify_until_iter
     ) or iteration == opt.iterations:
         return True
     return False
@@ -539,6 +549,9 @@ def apply_schedule(
     """Run whatever surgery the reference schedule prescribes at `iteration`.
     Returns a (possibly re-bucketed) TrainState; no-op at most iterations."""
     acts = []
+    pti, si, mi = (
+        opt.prune_trim_interval, opt.split_interval, opt.merge_interval
+    )
     if iteration < opt.densify_until_iter:
         if (
             iteration > opt.densify_from_iter
@@ -562,17 +575,21 @@ def apply_schedule(
         )
         acts.append(fix_opacity_host)
         frozen = True
-    if iteration % 1000 == 500 and iteration > opt.densify_until_iter:
+    if iteration % pti == pti // 2 and iteration > opt.densify_until_iter:
         acts.append(lambda h: only_prune(h, opt.opacity_cull, opt.mask_threshold))
         acts.append(lambda h: mask_trim_split(h, opt.mask_threshold))
-    if iteration % 1000 == 0 and iteration > 3000 and iteration != opt.iterations:
+    if (
+        iteration % si == 0
+        and iteration > opt.split_from_iter
+        and iteration != opt.iterations
+    ):
         acts.append(
             lambda h: curve_split_curvature(
                 h, opt.threshold_angle, opt.threshold_angle_skip
             )
         )
     if (
-        iteration % 1000 == 0 and iteration > opt.densify_until_iter
+        iteration % mi == 0 and iteration > opt.densify_until_iter
     ) or iteration == opt.iterations:
         acts.append(
             lambda h: fit_curve_to_line(h, opt.threshold_line, opt.threshold_max_line)

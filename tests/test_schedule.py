@@ -34,6 +34,30 @@ def test_default_schedule_matches_reference():
     assert 1500 not in fired and 6999 not in fired
 
 
+def test_interval_config_fields_are_honored():
+    """prune_trim/split/merge cadences are CONFIG, not literals — sweeping
+    them must shift the event set (round-1 verdict flagged this bug class
+    for conn_from_iter)."""
+    import dataclasses
+
+    opt = dataclasses.replace(
+        OptimizationConfig(),
+        prune_trim_interval=500,  # fires at %500 == 250 past densify_until
+        split_interval=2000,
+        split_from_iter=4000,
+        merge_interval=2000,
+    )
+    fired = {i for i in range(1, opt.iterations + 1) if schedule_fires(i, opt)}
+    expect = (
+        {2000, 4000, 6000}  # densify (interval 2000 in (500, 7000))
+        | {7000}  # densify_until prune + fix_opacity
+        | {7250, 7750, 8250, 8750, 9250, 9750}  # prune/trim half-phase of 500
+        | {6000, 8000}  # split at 2000 cadence past 4000 (not 10000)
+        | {8000, 10000}  # merge at 2000 cadence past 7000, final iter
+    )
+    assert fired == expect
+
+
 def test_compressed_schedule_still_fires():
     import dataclasses
 

@@ -110,6 +110,12 @@ def main():
             densification_interval=max(
                 1, int(opt_cfg.densification_interval * scale)
             ),
+            prune_trim_interval=max(
+                2, int(opt_cfg.prune_trim_interval * scale)
+            ),
+            split_interval=max(1, int(opt_cfg.split_interval * scale)),
+            split_from_iter=max(1, int(opt_cfg.split_from_iter * scale)),
+            merge_interval=max(1, int(opt_cfg.merge_interval * scale)),
             position_lr_max_steps=max(1, int(opt_cfg.position_lr_max_steps * scale)),
         )
     pipe_cfg = PipelineConfig(
