@@ -33,7 +33,12 @@ class PipelineConfig:
     """reference PipelineParams (arguments/__init__.py:68-75) + TPU knobs."""
 
     antialiasing: bool = False
+    # gates the allmap/dir/alpha channels of EVAL renders (the training
+    # path always skips them — the loss reads only the color channel, so
+    # skipping is an exact optimization, not a semantic change)
     render_geo: bool = True
+    # compat: the reference's pipe.debug enables CHECK_CUDA device syncs;
+    # the TPU equivalent is train.py --detect-anomaly (jax_debug_nans)
     debug: bool = False
     # TPU-specific
     # max Gaussians per 32x32 pixel tile (multiple of 8 for the gradient
@@ -65,6 +70,10 @@ class OptimizationConfig:
     """reference OptimizationParams (arguments/__init__.py:77-124)."""
 
     iterations: int = 10_000
+    # compat no-op, exactly as in the reference: get_expon_lr_func's delay
+    # only acts over lr_delay_steps, which training_setup never passes
+    # (defaults 0), so the mult never applies (general_utils.py:99-132,
+    # gaussian_curve_model.py:200-232)
     position_lr_delay_mult: float = 0.01
     position_lr_max_steps: int = 30_000
     lr_curve_points_init: float = 5e-4

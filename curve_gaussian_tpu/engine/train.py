@@ -242,6 +242,7 @@ def eval_render(
         bg=bg,
         alive=gauss["alive"],
         antialiasing=pipe_cfg.antialiasing,
+        render_geo=pipe_cfg.render_geo,
         capacity=pipe_cfg.tile_capacity,
         backend=pipe_cfg.backend,
     )
