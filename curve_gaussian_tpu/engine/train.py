@@ -8,10 +8,19 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
+import os
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Per-executable XLA overrides.  XLA_FLAGS never reaches the remote axon
+# compiler (CLAUDE.md); jit's compiler_options is the only channel that
+# does.  Entry points that know they run on TPU export CGT_COMPILER_OPTS
+# (a JSON dict) before importing this module; CPU test processes leave it
+# unset (TPU backend flags would be rejected by the CPU compiler).
+COMPILER_OPTS = json.loads(os.environ.get("CGT_COMPILER_OPTS", "null"))
 
 from ..config import OptimizationConfig, PipelineConfig
 from ..models import curve_state as cs
@@ -59,6 +68,7 @@ def curve_state_of(ts: TrainState) -> cs.CurveState:
     jax.jit,
     static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "conn_on"),
     donate_argnums=(0,),
+    compiler_options=COMPILER_OPTS,
 )
 def train_step(
     ts: TrainState,
@@ -165,6 +175,7 @@ def _train_step_impl(
         "opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "cam_geom", "conn_on"
     ),
     donate_argnums=(0,),
+    compiler_options=COMPILER_OPTS,
 )
 def train_steps_scan(
     ts: TrainState,
@@ -220,7 +231,9 @@ def train_steps_scan(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pipe_cfg", "use_mask", "n_gaussians", "mask_threshold")
+    jax.jit,
+    static_argnames=("pipe_cfg", "use_mask", "n_gaussians", "mask_threshold"),
+    compiler_options=COMPILER_OPTS,
 )
 def eval_render(
     ts: TrainState,

@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import OptimizationConfig, PipelineConfig
 from ..engine import optim
-from ..engine.train import TrainState
+from ..engine.train import COMPILER_OPTS, TrainState
 from ..models import curve_state as cs
 from ..models import losses as L
 from ..ops.camera import Camera
@@ -226,6 +226,7 @@ def _local_batch_step(
         "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom", "conn_on"
     ),
     donate_argnums=(0,),
+    compiler_options=COMPILER_OPTS,
 )
 def parallel_train_step(
     ts: TrainState,
@@ -268,6 +269,7 @@ def parallel_train_step(
         "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom", "conn_on"
     ),
     donate_argnums=(0,),
+    compiler_options=COMPILER_OPTS,
 )
 def parallel_train_steps_scan(
     ts: TrainState,
@@ -344,6 +346,7 @@ def camera_batch_arrays(cams: Sequence[Camera], mesh: Mesh | None = None):
 @functools.partial(
     jax.jit,
     static_argnames=("pipe_cfg", "mesh_shape", "cam_geom", "n_gaussians"),
+    compiler_options=COMPILER_OPTS,
 )
 def tile_parallel_render(
     ts: TrainState,
