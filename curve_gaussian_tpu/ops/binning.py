@@ -64,6 +64,36 @@ def tile_grid(height: int, width: int):
     return nty, ntx
 
 
+def row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] as a BARE lax.gather — rows of a [N, F] table (or scalars
+    of a [N] vector) at in-bounds int32 indices of any shape.
+
+    jnp indexing wraps the gather with a negative-index select on the
+    indices; fused with that (or any other) elementwise op, XLA's TPU
+    backend lowers the whole fusion through a serial ~14 ns/row emitter
+    instead of the DMA scatter-gather engine — 50-100x slower at the
+    bench shapes (probed; ROADMAP.md S(1) table).  Callers guarantee
+    0 <= idx < N (binning produces only in-bounds sentinel indices) and
+    wrap producer/consumer in optimization_barrier so nothing re-fuses.
+    Autodiff transpose is the matching bare scatter-add.
+    """
+    if table.ndim == 1:
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,)
+        )
+        sizes = (1,)
+    else:
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(idx.ndim,), collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        )
+        sizes = (1, table.shape[1])
+    return jax.lax.gather(
+        table, idx[..., None], dn, sizes,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
 class Binning(NamedTuple):
     gather_idx: jnp.ndarray  # [T, K] int32 Gaussian index (depth order per tile)
     slot_valid: jnp.ndarray  # [T, K] bool
@@ -249,8 +279,16 @@ def _bin_sort(
     idx2 = starts[:T, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
     slot_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
     # empty slots carry sentinel P: the indirect kernels read fields row P
-    # (all zeros -> alpha 0) for the tail of a partially filled group
-    gather_idx = jnp.where(slot_valid, sv[jnp.minimum(idx2, NP - 1)], P)
+    # (all zeros -> alpha 0) for the tail of a partially filled group.
+    # The slot mask is applied to the INDICES (elementwise i32, fuses with
+    # idx2's construction) rather than to the gather's output: a gather
+    # fused with a select lowers through XLA's serial ~14 ns/row fusion
+    # emitter, a lone gather root rides the DMA engine (~50x; ROADMAP.md).
+    # Row NP of the extended sort-values array holds the sentinel P.
+    sv_ext = jnp.concatenate([sv, jnp.full((1,), P, jnp.int32)])
+    slot_pos = jnp.where(slot_valid, jnp.minimum(idx2, NP - 1), NP)
+    sv_ext, slot_pos = jax.lax.optimization_barrier((sv_ext, slot_pos))
+    gather_idx = jax.lax.optimization_barrier(row_gather(sv_ext, slot_pos))
 
     rect_overflow = jnp.where(
         pre.valid, rect.area - rect.rw_c * rect.rh_c, 0

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .binning import TILE_H, TILE_W, Binning
+from .binning import TILE_H, TILE_W, Binning, row_gather
 from .projection import Preprocessed
 from .rasterize_ref import ALPHA_EPS, ALPHA_MAX, T_EPS
 
@@ -138,9 +138,17 @@ def build_payload(
     Pure jnp: its autodiff transpose is exactly the deterministic
     segment-sum of per-instance gradients back to Gaussians.  The field
     set matches field_layout(geo, invd, ones).
+
+    Empty slots are zeroed through the binning's sentinel index P against
+    an appended zero row — NOT a jnp.where mask: a masked gather fuses
+    with the select and XLA lowers the fusion through a serial ~14 ns/row
+    emitter (3.2 ms at the bench point), while a LONE gather root takes
+    the DMA scatter-gather engine at ~0.03 ms (probed, ROADMAP.md).  The
+    optimization_barrier pair keeps producers/consumers from re-fusing
+    into it; its autodiff transpose is itself, so the backward scatter-add
+    is insulated the same way.
     """
-    idx = binning.gather_idx  # [T, K]
-    ok = binning.slot_valid
+    idx = binning.gather_idx  # [T, K] (sentinel P at empty slots)
     L, nf = field_layout(geo, invd, ones)
     cols = [
         pre.mean2d[:, 0],
@@ -162,8 +170,12 @@ def build_payload(
         cols += [allmap[:, 0], allmap[:, 1], allmap[:, 2], allmap[:, 3]]
     cols += [jnp.zeros_like(color)] * (nf - len(cols))
     fields = jnp.stack(cols, axis=-1)  # [P, NF]
-    payload = fields[idx]  # [T, K, NF]
-    return jnp.where(ok[..., None], payload, 0.0)
+    fields = jnp.concatenate(
+        [fields, jnp.zeros((1, nf), fields.dtype)], axis=0
+    )  # row P = sentinel zeros
+    fields, idx = jax.lax.optimization_barrier((fields, idx))
+    payload = row_gather(fields, idx)  # [T, K, NF]
+    return jax.lax.optimization_barrier(payload)
 
 
 def stack_fields(

@@ -24,9 +24,19 @@ Notes vs the reference:
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
+
+def _flavor() -> str:
+    """Flavor override for A/B probing the S(1) memory-space pathology
+    (ROADMAP.md): "table" | "indirect" | "" (auto).  Read at trace time —
+    a constant within any one jit trace; probes that flip it must use
+    fresh jit instances (a cached executable never re-reads it).  The
+    Mosaic K % 1024 == 0 constraint on the indirect path is hard and
+    always wins."""
+    return os.environ.get("CGT_BLEND_FLAVOR", "")
 
 from .binning import bin_gaussians, tile_grid
 from .camera import Camera
@@ -127,7 +137,11 @@ def render(
             # so other capacities (small tests) take the table kernels.  P
             # and K are static per capacity bucket — a trace-time constant,
             # not a runtime branch.
-            indirect_ok = capacity % 1024 == 0 and xyz.shape[0] <= 16384
+            forced = _flavor()
+            if forced and capacity % 1024 == 0:
+                indirect_ok = forced == "indirect"
+            else:
+                indirect_ok = capacity % 1024 == 0 and xyz.shape[0] <= 16384
             backend = "pallas_indirect" if indirect_ok else "pallas_table"
         if backend == "pallas_table":  # contiguous per-tile payload tables
             payload = build_payload(
