@@ -276,19 +276,24 @@ def _bin_sort(
     starts = lo
     raw = starts[1:] - starts[:-1]
     counts = jnp.minimum(raw, K)
-    idx2 = starts[:T, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
     slot_valid = jnp.arange(K, dtype=jnp.int32)[None, :] < counts[:, None]
-    # empty slots carry sentinel P: the indirect kernels read fields row P
-    # (all zeros -> alpha 0) for the tail of a partially filled group.
-    # The slot mask is applied to the INDICES (elementwise i32, fuses with
-    # idx2's construction) rather than to the gather's output: a gather
-    # fused with a select lowers through XLA's serial ~14 ns/row fusion
-    # emitter, a lone gather root rides the DMA engine (~50x; ROADMAP.md).
-    # Row NP of the extended sort-values array holds the sentinel P.
-    sv_ext = jnp.concatenate([sv, jnp.full((1,), P, jnp.int32)])
-    slot_pos = jnp.where(slot_valid, jnp.minimum(idx2, NP - 1), NP)
-    sv_ext, slot_pos = jax.lax.optimization_barrier((sv_ext, slot_pos))
-    gather_idx = jax.lax.optimization_barrier(row_gather(sv_ext, slot_pos))
+    # [T, K] table as ONE K-wide window gather per TILE (T gather rows, not
+    # T*K): XLA's serial gather emitter costs ~7-17 ns per gather ROW
+    # regardless of row width (ROADMAP.md S(1) table), so collapsing the
+    # per-slot gather into per-tile slices is ~K x cheaper — probed 1.64 ms
+    # -> 0.002 ms at the bench point (scripts/probe_s1_structural.py A1).
+    # sv is padded with K sentinels so every window is in bounds; slots
+    # past counts[t] land in the next tile's range and are masked to the
+    # sentinel P (fields row P is zeros -> alpha 0 in the kernels).
+    sv_ext = jnp.concatenate([sv, jnp.full((K,), P, jnp.int32)])
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    win = jax.lax.gather(
+        sv_ext, starts[:T, None], dn, (K,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    gather_idx = jnp.where(slot_valid, win, P)
 
     rect_overflow = jnp.where(
         pre.valid, rect.area - rect.rw_c * rect.rh_c, 0
