@@ -31,8 +31,8 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
     from curve_gaussian_tpu.ops import binning as B
     from curve_gaussian_tpu.ops.projection import preprocess
     from curve_gaussian_tpu.ops.rasterize_pallas import (
-        build_payload,
-        tile_blend,
+        blend_train,
+        stack_fields,
         untile_image,
     )
 
@@ -53,11 +53,13 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
     gt0 = gts[0]
 
     def raster_loss(m2):
-        # table flavor — what the auto-select picks at this P (render.py)
+        # blend_train — what the auto-select picks for training (render.py)
         p = pre._replace(mean2d=m2)
         b = B.bin_gaussians(p, H, W, capacity=pipe_cfg.tile_capacity)
-        pl = build_payload(p, col, amz, b, geo=False, invd=False, ones=True)
-        c, _, _, _ = tile_blend(pl, b.counts, nty, ntx, False, False, True, bgr)
+        fl = stack_fields(p, col, amz, geo=False, invd=False, ones=True)
+        c, _, _, _ = blend_train(
+            fl, b.gather_idx, b.idx_pad, b.counts, bgr, nty, ntx
+        )
         return (untile_image(c, nty, ntx)[:H, :W] * gt0).sum()
 
     g_f = jax.jit(jax.grad(raster_loss))
@@ -81,6 +83,8 @@ def main():
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of one chunk here")
     ap.add_argument("--skip-midpoint", action="store_true")
+    ap.add_argument("--skip-views", action="store_true",
+                    help="skip the B=2/4/8 single-chip batched-view lines")
     args = ap.parse_args()
     import jax
 
@@ -163,6 +167,52 @@ def main():
         _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views)
     except Exception as e:  # pragma: no cover
         print(f"raster-only micro failed: {e}", file=sys.stderr)
+
+    # single-chip multi-view batching: B views per optimizer step through
+    # the data-parallel machinery (parallel.sharding) on a 1-device mesh.
+    # Measures the DP path's real per-view overhead — the closest scaling
+    # evidence obtainable on one chip (per-STEP costs like Adam, sorts and
+    # dispatch amortize over B; per-view raster work does not).
+    if not args.skip_views:
+        try:
+            from curve_gaussian_tpu.parallel import sharding as sh
+
+            for B in (2, 4, 8):
+                vi = np.arange(K * B) % n_views
+                w2c_b = w2c[vi].reshape(K, B, 4, 4)
+                proj_b = proj[vi].reshape(K, B, 4, 4)
+                ctr_b = ctr[vi].reshape(K, B, 3)
+                gts_b = gt_all[vi].reshape(K, B, H, W)
+                ts_b = T.init_train_state(
+                    cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
+                )
+
+                def chunk_b(ts_b):
+                    return sh.parallel_train_steps_scan(
+                        ts_b, (w2c_b, proj_b, ctr_b), gts_b, bg, opt_cfg,
+                        pipe_cfg, use_mask=False,
+                        mesh_shape=(("data", 1),), cam_geom=geom,
+                    )
+
+                t0 = time.time()
+                ts_b, mb = chunk_b(ts_b)
+                float(np.asarray(mb["total"])[-1])
+                print(f"B={B} compile+chunk {time.time()-t0:.1f}s",
+                      file=sys.stderr)
+                t0 = time.time()
+                for _ in range(n_chunks):
+                    ts_b, mb = chunk_b(ts_b)
+                float(np.asarray(mb["total"])[-1])
+                dt_b = time.time() - t0
+                it_b = n_chunks * K / dt_b
+                print(
+                    f"batched views B={B} (1 chip): {it_b:.2f} steps/s, "
+                    f"{it_b * B:.2f} views/s, "
+                    f"{it_b * B * H * W / 1e6:.1f} Mpix/s fwd+bwd",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # pragma: no cover
+            print(f"batched-view bench failed: {e}", file=sys.stderr)
 
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):

@@ -29,10 +29,13 @@ argsort + dense [T, P] prefix-count grid + pair scatters.  O(T*P) memory
 traffic and three pair-volume scatter/gathers — measured ~4-5x slower at
 the bench workload, but useful as an independent construction for tests.
 
-Candidacy of (tile, gaussian) = AABB/tile interval overlap AND a
-conservative max-alpha bound: a tile whose closest point to the mean has
-0.5*lambda_min(conic)*d^2 beyond ln(255*opacity) cannot contain any pixel
-passing the alpha >= 1/255 cutoff, so culling it is exact.
+Candidacy of (tile, gaussian) = AABB/tile interval overlap AND the EXACT
+alpha-support test: the closed-form minimum of the power quadratic over
+the tile's pixel box is compared against ln(255*opacity), so a tile is a
+candidate iff at least one of its pixels can pass the alpha >= 1/255
+cutoff (the tightest tile-granular cull; see pair_fields).  The AABB
+itself is the exact support-ellipse extent from preprocess, so candidacy
+as a whole admits no tile the blend could not touch.
 
 Capacity bounds (all REPORTED via `overflow`, never silent):
   * per-tile capacity K keeps the K nearest (depth order) — far splats are
@@ -103,6 +106,15 @@ class Binning(NamedTuple):
     # K clamp; the driver's adaptive tile-capacity policy shrinks K toward
     # the observed peak (the [T,K] gradient tables cost ~15 ns/row to
     # reduce, so idle K rows are pure scatter waste)
+    # --- [T, KP] copy of gather_idx padded to KP=1024 columns (sentinel P),
+    # the SMEM-block shape Mosaic accepts for rank-1 (KP,) tiles.  Feeds
+    # the RMW-accumulator backward (rasterize_pallas.blend_train), which
+    # reduces per-instance gradients to per-Gaussian INSIDE the kernel —
+    # every XLA-side gather/scatter touching a Pallas result serializes
+    # under memory-space pinning (probes s1b/s1d/s1e, ROADMAP.md).  None
+    # when K > 1024 or for the pairs method (callers fall back to the
+    # table flavor's scatter).
+    idx_pad: jnp.ndarray | None = None  # [T, 1024] int32
 
 
 class _Rect(NamedTuple):
@@ -113,7 +125,8 @@ class _Rect(NamedTuple):
     rh_c: jnp.ndarray  # clipped rect height (tiles)
     y0c: jnp.ndarray  # clipped rect top row (centered on the mean row)
     area: jnp.ndarray  # UNclipped rect area (tiles)
-    r_eff2: jnp.ndarray  # alpha-bound radius^2 (px^2); -1 => cull all
+    log_ratio: jnp.ndarray  # ln(opa * 255): alpha-cutoff level set of the
+    # power quadratic; <= 0 => no pixel anywhere can pass the alpha gate
 
 
 def _rect_fields(pre: Preprocessed, nty: int, ntx: int, max_rect: int) -> _Rect:
@@ -121,16 +134,7 @@ def _rect_fields(pre: Preprocessed, nty: int, ntx: int, max_rect: int) -> _Rect:
     ex, ey = pre.extent[:, 0], pre.extent[:, 1]
     conic = pre.conic
 
-    # conservative alpha-bound radius (see module docstring)
-    half_tr = 0.5 * (conic[:, 0] + conic[:, 2])
-    lmin = half_tr - jnp.sqrt(
-        jnp.maximum(
-            (0.5 * (conic[:, 0] - conic[:, 2])) ** 2 + conic[:, 1] ** 2, 0.0
-        )
-    )
-    lmin = jnp.maximum(lmin, 1e-12)
     log_ratio = jnp.log(jnp.maximum(pre.opacity, 1e-12) / ALPHA_EPS)
-    r_eff2 = jnp.where(log_ratio > 0, 2.0 * log_ratio / lmin, -1.0)
 
     x0t = jnp.clip(jnp.floor((mx - ex) / TILE_W).astype(jnp.int32), 0, ntx)
     x1t = jnp.clip(jnp.floor((mx + ex) / TILE_W).astype(jnp.int32) + 1, 0, ntx)
@@ -146,7 +150,7 @@ def _rect_fields(pre: Preprocessed, nty: int, ntx: int, max_rect: int) -> _Rect:
         jnp.floor(my / TILE_H).astype(jnp.int32), y0t, jnp.maximum(y1t - 1, y0t)
     )
     y0c = jnp.clip(mean_ty - (rh_c - 1) // 2, y0t, jnp.maximum(y1t - rh_c, y0t))
-    return _Rect(x0t, y0t, y1t, rw_c, rh_c, y0c, rw * rh, r_eff2)
+    return _Rect(x0t, y0t, y1t, rw_c, rh_c, y0c, rw * rh, log_ratio)
 
 
 def _emit_pairs(pre: Preprocessed, rect: _Rect, T: int, ntx: int, max_rect: int):
@@ -154,18 +158,48 @@ def _emit_pairs(pre: Preprocessed, rect: _Rect, T: int, ntx: int, max_rect: int)
     mx, my = pre.mean2d[:, 0], pre.mean2d[:, 1]
     fdt = mx.dtype
     valid = pre.valid
+    conic = pre.conic
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
 
     def pair_fields(r):
         rw_s = jnp.maximum(rect.rw_c, 1)
         py_t = rect.y0c + r // rw_s
         px_t = rect.x0t + r % rw_s
         in_rect = (r < rect.rw_c * rect.rh_c) & (py_t < rect.y0c + rect.rh_c) & valid
-        # distance from mean to the tile's pixel rect (alpha-bound cull)
+        # EXACT alpha cull: a tile is a candidate iff some pixel of it can
+        # pass alpha >= ALPHA_EPS, i.e. iff the power quadratic
+        # q(d) = 0.5(ca dx^2 + cc dy^2) + cb dx dy reaches log_ratio =
+        # ln(opa/ALPHA_EPS) inside the tile's pixel box.  q is PSD
+        # (det > 0), so its box minimum is at the origin (if inside) or on
+        # one of the four edges, where the 1-D minimizer is -cb*edge/other
+        # clamped to the box — five closed-form candidates, all
+        # vectorized.  This is the tightest tile-granular cull possible
+        # and (unlike the former isotropic lambda_min ball) does not
+        # over-admit the empty AABB corners of elongated, diagonal splats
+        # — the dominant shape here, since curves sample to thin Gaussian
+        # chains.  A small slack on the threshold keeps the cull strictly
+        # conservative under f32 rounding.
         tx0 = (px_t * TILE_W).astype(fdt)
         ty0 = (py_t * TILE_H).astype(fdt)
-        dxr = jnp.maximum(jnp.maximum(tx0 - mx, mx - (tx0 + TILE_W - 1)), 0.0)
-        dyr = jnp.maximum(jnp.maximum(ty0 - my, my - (ty0 + TILE_H - 1)), 0.0)
-        ok = in_rect & (dxr * dxr + dyr * dyr <= rect.r_eff2)
+        xl, xh = tx0 - mx, tx0 + (TILE_W - 1) - mx
+        yl, yh = ty0 - my, ty0 + (TILE_H - 1) - my
+
+        def q(dx, dy):
+            return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+        def edge_x(x):
+            return q(x, jnp.clip(-cb * x / cc, yl, yh))
+
+        def edge_y(y):
+            return q(jnp.clip(-cb * y / ca, xl, xh), y)
+
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(xl), edge_x(xh)),
+            jnp.minimum(edge_y(yl), edge_y(yh)),
+        )
+        inside = (xl <= 0.0) & (0.0 <= xh) & (yl <= 0.0) & (0.0 <= yh)
+        qmin = jnp.where(inside, 0.0, qmin)
+        ok = in_rect & (qmin <= rect.log_ratio + 1e-4)
         return jnp.where(ok, py_t * ntx + px_t, T), ok
 
     rs = jnp.arange(max_rect, dtype=jnp.int32)
@@ -295,6 +329,20 @@ def _bin_sort(
     )
     gather_idx = jnp.where(slot_valid, win, P)
 
+    # [T, KP] sentinel-padded copy for the RMW backward's SMEM idx blocks
+    # (see Binning docstring); another per-tile window gather, so ~free.
+    KP = 1024
+    idx_pad = None
+    if K <= KP:
+        sv_ext_p = jnp.concatenate([sv, jnp.full((KP,), P, jnp.int32)])
+        win_p = jax.lax.gather(
+            sv_ext_p, starts[:T, None], dn, (KP,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        idx_pad = jnp.where(
+            jnp.arange(KP, dtype=jnp.int32)[None, :] < counts[:, None], win_p, P
+        )
+
     rect_overflow = jnp.where(
         pre.valid, rect.area - rect.rw_c * rect.rh_c, 0
     ).sum()
@@ -310,6 +358,7 @@ def _bin_sort(
         counts=counts.astype(jnp.int32),
         overflow=overflow,
         peak=jnp.max(raw).astype(jnp.int32),
+        idx_pad=idx_pad,
     )
 
 

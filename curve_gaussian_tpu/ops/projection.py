@@ -127,9 +127,24 @@ def preprocess(
     mean2d = jnp.stack(
         [ndc2pix(ndc_xy[:, 0], cam.width), ndc2pix(ndc_xy[:, 1], cam.height)], axis=-1
     )
-    # tight axis-aligned half extents of the 3-sigma ellipse (+ dilation slack):
-    # for cov=[[a,b],[b,c]], max |x| on the ellipse is 3*sqrt(a).
-    ext = 3.0 * jnp.sqrt(jnp.maximum(jnp.stack([cxx, cyy], axis=-1), 0.0))
+    opa_eff = opacity * compensation
+    # axis-aligned half extents of the EXACT alpha-support ellipse: the
+    # kernels gate per pixel on alpha >= 1/255 (rasterize_ref.ALPHA_EPS),
+    # whose region {d' conic d <= 2 ln(255 opa)} has per-axis AABB reach
+    # sqrt(2 ln(255 opa)) * sigma_axis (up to 3.33 sigma at opa=1).  A
+    # fixed-3-sigma AABB truncated pixels in the [3, 3.33] sigma ring that
+    # pass the alpha gate (caught by the float64 torch oracle as ~1%
+    # gradient deltas on tile-straddling splats).  The reference clips to
+    # an isotropic ceil(3 sqrt(lam_max)) SQUARE (forward.cu:241-244), which
+    # both over-covers (short axis) and under-covers (major-axis ring past
+    # 3 sigma) the support; covering the support exactly is the
+    # strictly-more-correct superset and keeps binning candidacy minimal.
+    reach = jnp.sqrt(2.0 * jnp.maximum(jnp.log(
+        jnp.maximum(opa_eff, 1e-12) * 255.0
+    ), 0.0))
+    ext = reach[:, None] * jnp.sqrt(
+        jnp.maximum(jnp.stack([cxx, cyy], axis=-1), 0.0)
+    )
 
     valid = (z_view > NEAR_CULL_Z) & (det > 0.0) & (radius_f > 0.0)
     if alive is not None:
@@ -140,8 +155,8 @@ def preprocess(
         mean2d=mean2d,
         conic=conic,
         depth=z_view,
-        opacity=opacity * compensation,
+        opacity=opa_eff,
         radius=radius,
-        extent=jnp.minimum(ext, radius_f[:, None]),
+        extent=ext,
         valid=valid,
     )

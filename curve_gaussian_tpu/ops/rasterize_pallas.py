@@ -665,6 +665,150 @@ def _make_bwd_moment_kernel(indirect: bool = True):
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
+def _make_bwd_moment_rmw_kernel(PR: int):
+    """Training-config backward with IN-KERNEL slot->Gaussian reduction.
+
+    Same per-instance math and moment-scratch MXU combiner as
+    _make_bwd_moment_kernel, but instead of writing per-slot moment rows
+    for an XLA-side scatter (which serializes under Pallas-chain VMEM
+    pinning, ROADMAP.md), each 8-instance group's moments land directly in
+    a persistent [PR, 128] accumulator: gaussian g owns lanes
+    8*(g%16)..+8 of row g//16, and the write is an (8,128) slab RMW at the
+    8-aligned row base (g//128)*8 with the placement done by vector masks.
+    Instance ids come from the SMEM idx block (sentinel P rows carry zero
+    moments, so their RMW adds zeros).  See blend_train for probe numbers.
+    """
+    L, NF = field_layout(False, False, True)
+
+    def kernel(counts_ref, bg_ref, idx_ref, payload_ref,
+               outc_ref, outt_ref, gc_ref, gt_ref, acc_out_ref,
+               scr_ref, acc_ref):
+        fdt = payload_ref.dtype
+        t = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        n = _count(counts_ref)
+        px, py = _pixel_grids(fdt)
+        zero = jnp.zeros((REG_H, REG_W), fdt)
+        outt = outt_ref[:, :]
+        gt = gt_ref[:, :]
+        gc = gc_ref[:, :]
+        outc = outc_ref[:, :]
+        # loop-invariant part of d(loss)/d(alpha): with gcpref tracking
+        # gc * prefix, g_alpha = gc*T_i + inv1a*(base_inv + gcpref)
+        base_inv = -gt * outt - gc * outc
+
+        @pl.when(t == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros(acc_ref.shape, fdt)
+
+        rows_per = _CHUNK * REG_H
+        gi = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 1)
+        S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)  # (8, 64)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 1)
+        # flat position of (sublane, lane-group) inside an (8,128) slab:
+        # gaussian g lives at slab (g//128)*8, position g%128 — ONE compare
+        # places it (vs sublane==... & lanegroup==...)
+        slabpos = sub * 16 + lane // 8
+        lane_m8 = lane % 8
+        zrow128 = jnp.zeros((_CHUNK, 128), fdt)
+
+        one = zero + 1.0
+
+        def get(j):
+            return lambda f: payload_ref[0, j, f]
+
+        def phase1(j):
+            gf = get(j)
+            ca = gf(L["ca"])
+            cb = gf(L["cb"])
+            cc = gf(L["cc"])
+            opa = gf(L["opa"])
+            dx = gf(L["mx"]) - px
+            dy = gf(L["my"]) - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            G = _fast_exp(power)
+            alpha = jnp.minimum(ALPHA_MAX, opa * G)
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
+            ag = jnp.where(cand, alpha, zero)
+            return ag, G, dx, dy
+
+        def group_cond(st):
+            g, state = st
+            return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
+
+        def group_body(st):
+            g, state = st
+            T_, act, gcpref = state
+            for s in range(_CHUNK // _BPIPE):
+                pre = [phase1(g * _CHUNK + s * _BPIPE + i)
+                       for i in range(_BPIPE)]
+                for i, (ag, G, dx, dy) in enumerate(pre):
+                    aT = ag * T_
+                    ta = T_ - aT
+                    live = jnp.where(ta >= T_EPS, one, zero)
+                    w = aT * (act * live)
+                    act = act * jnp.where(ag > 0.0, live, one)
+                    T_i = T_
+                    T_ = T_ - w
+                    gcpref = gcpref + gc * w  # gc * inclusive ones prefix
+
+                    inv1a = 1.0 / (1.0 - ag)
+                    g_alpha = gc * T_i + inv1a * (base_inv + gcpref)
+                    g_alpha = g_alpha * jnp.where(w > 0.0, one, zero)
+                    Dp = g_alpha * G
+                    e1 = Dp * dx
+                    e2 = Dp * dy
+                    for k, v in enumerate(
+                        (Dp, e1, e2, e1 * dx, e1 * dy, e2 * dy)
+                    ):
+                        scr_ref[
+                            pl.ds(
+                                rows_per * k + REG_H * (s * _BPIPE + i),
+                                REG_H,
+                            ),
+                            :,
+                        ] = v
+            state = (T_, act, gcpref)
+            # MXU combiner: per-instance sublane+lane sums of each moment,
+            # replicated across the 16 lane groups so the RMW below only
+            # has to mask, not shuffle
+            rows128 = zrow128
+            for k in range(6):
+                blk = scr_ref[pl.ds(rows_per * k, rows_per), :]  # (64, 128)
+                Ak = jax.lax.dot_general(
+                    S, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=fdt,
+                )  # (8, 128)
+                col = jnp.sum(Ak, axis=1, keepdims=True)  # (8, 1)
+                rows128 = rows128 + jnp.where(lane_m8 == k, col, zrow128)
+            off = g * _CHUNK
+            for i in range(_CHUNK):
+                gid = idx_ref[off + i]
+                base = pl.multiple_of((gid // 128) * 8, 8)
+                val = jnp.where(
+                    slabpos == gid % 128,
+                    jnp.broadcast_to(rows128[i : i + 1], (_CHUNK, 128)),
+                    zrow128,
+                )
+                acc_ref[pl.ds(base, _CHUNK), :] = (
+                    acc_ref[pl.ds(base, _CHUNK), :] + val
+                )
+            return (g + 1, state)
+
+        init = (zero + 1.0, zero + 1.0, zero)
+        jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
+
+        last = pl.num_programs(0) * pl.num_programs(1) - 1
+
+        @pl.when(t == last)
+        def _emit():
+            acc_out_ref[...] = acc_ref[...]
+
+    return kernel
+
+
 def _moments_to_dfields(M, fields):
     """Per-Gaussian moment rows [P1, 8] -> field gradients [P1, NF]."""
     ca, cb, cc, opa = fields[:, 2], fields[:, 3], fields[:, 4], fields[:, 5]
@@ -785,6 +929,128 @@ def _tile_blend_bwd(nty: int, ntx: int, geo: bool, invd: bool, ones: bool,
 
 
 tile_blend.defvjp(_tile_blend_fwd, _tile_blend_bwd)
+
+
+# ---------------------------------------------------------------------------
+# training-config blend (the hot path): payload-table forward + moment
+# backward with IN-KERNEL per-Gaussian RMW accumulation
+# ---------------------------------------------------------------------------
+
+_KP = 1024  # rank-1 SMEM block width (must divide Mosaic's (1024) tiling)
+
+
+def _acc_rows(P1: int) -> int:
+    """Accumulator rows for gids in [0, P1): row g//16, 8-row slabs."""
+    return ((P1 - 1) // 128) * 8 + 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def blend_train(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
+    """tile_blend for the TRAINING channel config (ones color, no allmap /
+    invdepth), with the backward's slot->Gaussian gradient reduction done
+    INSIDE the kernel by masked read-modify-writes on a persistent VMEM
+    accumulator.
+
+    Motivation (probed, scripts/probe_s1d.py / probe_s1e.py): XLA's
+    memory-space assignment pins every gather/scatter in a Pallas call's
+    operand/result chain into VMEM and lowers it through a serial
+    ~1.5 ns/element emitter — optimization_barrier does NOT break the
+    chain, so neither the slot->Gaussian scatter-add (3.1 ms/step) nor any
+    gather reformulation of it can run at DMA speed.  The escape: never
+    hand XLA a per-slot table at all.  The backward keeps a [P1/16, 128]
+    accumulator in VMEM across the whole tile grid (gaussian g -> row
+    g//16, lanes 8*(g%16)..+8) and lands each instance's six moments with
+    an (8,128) slab RMW at the 8-aligned base (g//128)*8 — the lane/
+    sublane placement is pure VECTOR MASKING (legal for any g; only
+    dynamic addressing carries alignment rules).  Probe s1e: bit-exact,
+    ~2.2 ms/step cheaper than block store + scatter at the bench shape.
+    The reference reduces with atomicAdd on raw pointers
+    (backward.cu:453-675); this is the deterministic TPU equivalent.
+
+    fields: [P1, NF] from stack_fields (ones=True layout, NF=8).
+    gidx [T, K] / idx_pad [T, KP=1024] / counts: binning tables.  bg: [1].
+    Returns the tile_blend 4-tuple (invd/allmap outputs are zeros).
+    """
+    out, _ = _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty, ntx)
+    return out
+
+
+def _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
+    K = gidx.shape[1]
+    NF = fields.shape[1]
+    dt = fields.dtype
+    fields_b, idx_b = jax.lax.optimization_barrier((fields, gidx))
+    payload = jax.lax.optimization_barrier(row_gather(fields_b, idx_b))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+            pl.BlockSpec((4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0)),
+        ],
+    )
+    col, invd_img, finT, am = pl.pallas_call(
+        _make_fwd_kernel(False, False, True),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((4, nty * ntx * REG_H, REG_W), dt),
+        ],
+        interpret=_interpret(),
+    )(counts, bg, payload)
+    out = (col, invd_img, finT, am)
+    return out, (fields, payload, idx_pad, counts, bg, col, finT)
+
+
+def _blend_train_bwd(nty: int, ntx: int, res, g):
+    fields, payload, idx_pad, counts, bg, col, finT = res
+    gc, _gd, gtt, _gam = g  # invd/allmap outputs are zeros in this config
+    T, K, NF = payload.shape
+    P1 = fields.shape[0]
+    PR = _acc_rows(P1)
+    dt = payload.dtype
+    img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec(
+                (_KP,), lambda i, j, c, b: (i * ntx + j,),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
+            img(), img(), img(), img(),
+        ],
+        out_specs=[
+            # the accumulator block is revisited by every grid step and
+            # written back once at the last tile
+            pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6 * _CHUNK * REG_H, REG_W), dt),
+            pltpu.VMEM((PR, 128), dt),
+        ],
+    )
+    (acc,) = pl.pallas_call(
+        _make_bwd_moment_rmw_kernel(PR),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((PR, 128), dt)],
+        interpret=_interpret(),
+    )(counts, bg, idx_pad.reshape(-1), payload, col, finT, gc, gtt)
+    M = acc.reshape(PR * 16, 8)[:P1]
+    dfields = _moments_to_dfields(M, fields)
+    dbg = jnp.sum(gc * finT, dtype=dt).reshape(bg.shape)
+    return (dfields, None, None, None, dbg)
+
+
+blend_train.defvjp(_blend_train_fwd, _blend_train_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -24,25 +24,18 @@ Notes vs the reference:
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
 import jax.numpy as jnp
-
-def _flavor() -> str:
-    """Flavor override for A/B probing the S(1) memory-space pathology
-    (ROADMAP.md): "table" | "indirect" | "" (auto).  Read at trace time —
-    a constant within any one jit trace; probes that flip it must use
-    fresh jit instances (a cached executable never re-reads it).  The
-    Mosaic K % 1024 == 0 constraint on the indirect path is hard and
-    always wins."""
-    return os.environ.get("CGT_BLEND_FLAVOR", "")
 
 from .binning import bin_gaussians, tile_grid
 from .camera import Camera
 from .projection import preprocess
 from .quaternion import quat_to_rotmat
 from .rasterize_pallas import (
+    blend_train,
     build_payload,
     stack_fields,
     tile_blend,
@@ -51,6 +44,26 @@ from .rasterize_pallas import (
     untile_image,
 )
 from .rasterize_ref import membership, rasterize_reference
+
+logger = logging.getLogger(__name__)
+
+_FLAVORS = ("", "table", "indirect", "train")
+
+
+def _flavor() -> str:
+    """Flavor override for A/B probing the S(1) memory-space pathology
+    (ROADMAP.md): "table" | "indirect" | "" (auto).  Read at trace time —
+    a constant within any one jit trace; probes that flip it must use
+    fresh jit instances (a cached executable never re-reads it).  The
+    Mosaic K % 1024 == 0 constraint on the indirect path is hard and
+    always wins."""
+    f = os.environ.get("CGT_BLEND_FLAVOR", "")
+    if f not in _FLAVORS:
+        raise ValueError(
+            f"CGT_BLEND_FLAVOR={f!r} is not one of {_FLAVORS} — refusing to "
+            "silently fall back (it would invalidate an A/B measurement)"
+        )
+    return f
 
 
 def main_axis_allmap(xyz, quat, cam: Camera) -> jnp.ndarray:
@@ -126,6 +139,17 @@ def render(
     else:
         binning = bin_gaussians(pre, H, W, capacity=capacity)
         nty, ntx = tile_grid(H, W)
+        train_cfg = (
+            not render_geo and not compute_invdepth and color_ones
+            and binning.idx_pad is not None
+        )
+        if backend == "pallas" and train_cfg and _flavor() in ("", "train"):
+            # training channel config: payload forward + moment backward
+            # with in-kernel RMW gradient reduction (blend_train) — the
+            # only reduction shape that escapes XLA's Pallas-chain VMEM
+            # pinning (every XLA-side gather/scatter of a kernel result
+            # serializes at ~1.5 ns/element; probes s1d/s1e, ROADMAP.md)
+            backend = "pallas_train"
         if backend == "pallas":
             # auto-select the blend flavor by model size (interleaved A/B on
             # v5e): small fields arrays live happily VMEM-resident and the
@@ -143,7 +167,19 @@ def render(
             else:
                 indirect_ok = capacity % 1024 == 0 and xyz.shape[0] <= 16384
             backend = "pallas_indirect" if indirect_ok else "pallas_table"
-        if backend == "pallas_table":  # contiguous per-tile payload tables
+            logger.debug(
+                "render: blend flavor %s (capacity=%d, P=%d, forced=%r)",
+                backend, capacity, xyz.shape[0], forced,
+            )
+        if backend == "pallas_train":
+            fields = stack_fields(
+                pre, color, allmap, geo=False, invd=False, ones=True
+            )
+            img_p, invd_p, finT_p, am_p = blend_train(
+                fields, binning.gather_idx, binning.idx_pad,
+                binning.counts, bg_arr, nty, ntx,
+            )
+        elif backend == "pallas_table":  # contiguous per-tile payload tables
             payload = build_payload(
                 pre, color, allmap, binning,
                 geo=render_geo, invd=compute_invdepth, ones=color_ones,

@@ -52,11 +52,15 @@ def _blur(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     h, w = img.shape[-2], img.shape[-1]
     By = jnp.asarray(_band_matrix(h, window_size))
     Bx = jnp.asarray(_band_matrix(w, window_size))
+    # HIGH = 3-pass bf16 MXU passes (~22 mantissa bits): indistinguishable
+    # from full f32 for 11-tap blurs of [0,1] images (parity tests hold at
+    # 2e-5 vs torch f64) and half the cost of HIGHEST (6 passes) — the four
+    # blur einsums were 1.29 ms/step of the r3 train step at HIGHEST.
     hi = jnp.einsum(
-        "ih,...hw->...iw", By, img, precision=jax.lax.Precision.HIGHEST
+        "ih,...hw->...iw", By, img, precision=jax.lax.Precision.HIGH
     )
     return jnp.einsum(
-        "...iw,wj->...ij", hi, Bx, precision=jax.lax.Precision.HIGHEST
+        "...iw,wj->...ij", hi, Bx, precision=jax.lax.Precision.HIGH
     )
 
 

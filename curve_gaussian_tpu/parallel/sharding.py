@@ -135,6 +135,7 @@ def _local_batch_step(
     use_mask: bool,
     conn_on: bool | None,
     cam_geom,
+    n_dev: int = 0,
 ):
     """One optimizer step from a LOCAL shard of a B-view batch.
 
@@ -183,14 +184,23 @@ def _local_batch_step(
     (gp, goff, tot, ov, vis, rad, peak), _ = jax.lax.scan(
         body, init, jnp.arange(nb)
     )
-    nglobal = nb * jax.lax.psum(1, "data")
-    gp = jax.tree.map(lambda g: jax.lax.psum(g, "data") / nglobal, gp)
-    goff = jax.lax.psum(goff, "data") / nglobal
-    tot = jax.lax.psum(tot, "data") / nglobal
-    ov = jax.lax.psum(ov, "data")
-    vis = jax.lax.psum(vis.astype(jnp.int32), "data") > 0
-    rad = jax.lax.pmax(rad, "data")
-    peak = jax.lax.pmax(peak, "data")
+    if n_dev == 1:
+        # 1-wide mesh (single-chip batched views): collectives are
+        # identities, and on the tunneled runtime each one costs a host
+        # round-trip — skip them statically
+        nglobal = nb
+        gp = jax.tree.map(lambda g: g / nglobal, gp)
+        goff = goff / nglobal
+        tot = tot / nglobal
+    else:
+        nglobal = nb * jax.lax.psum(1, "data")
+        gp = jax.tree.map(lambda g: jax.lax.psum(g, "data") / nglobal, gp)
+        goff = jax.lax.psum(goff, "data") / nglobal
+        tot = jax.lax.psum(tot, "data") / nglobal
+        ov = jax.lax.psum(ov, "data")
+        vis = jax.lax.psum(vis.astype(jnp.int32), "data") > 0
+        rad = jax.lax.pmax(rad, "data")
+        peak = jax.lax.pmax(peak, "data")
 
     lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
     lrs = dict(lrs)
@@ -257,7 +267,7 @@ def parallel_train_step(
     def run(ts, cam_arrays, gts, bg):
         return _local_batch_step(
             ts, (*cam_arrays, gts), bg, opt_cfg, pipe_cfg, use_mask, conn_on,
-            cam_geom,
+            cam_geom, n_dev=dict(mesh_shape)["data"],
         )
 
     return run(ts, cam_arrays, gts, bg)
@@ -313,7 +323,7 @@ def parallel_train_steps_scan(
             i, w2c, proj, ctr, gt = xs
             ts2, metrics = _local_batch_step(
                 ts, (w2c, proj, ctr, gt), bg, opt_cfg, pipe_cfg, use_mask,
-                conn_on, cam_geom,
+                conn_on, cam_geom, n_dev=dict(mesh_shape)["data"],
             )
             if n_act is not None:
                 act = i < n_act

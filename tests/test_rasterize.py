@@ -203,3 +203,89 @@ class TestInvariances:
         np.testing.assert_allclose(
             np.asarray(a["render"]), np.asarray(b["render"]), atol=1e-6
         )
+
+
+@pytest.fixture
+def _train_flavor(monkeypatch):
+    # blend_train is opt-in (CGT_BLEND_FLAVOR=train): in-step the XLA-side
+    # gather-formulation reduction serializes under Pallas-chain VMEM
+    # pinning, so the default training route stays on the table flavor
+    monkeypatch.setenv("CGT_BLEND_FLAVOR", "train")
+
+
+class TestTrainBlendParity:
+    """blend_train (payload forward + moment backward + gather-formulation
+    reduction) must match the oracle on forward images AND gradients
+    exactly like the full config."""
+
+    def _fns(self, cam, kc, kT):
+        def make(backend):
+            def f(xyz, scale, quat, opacity):
+                out = render(
+                    xyz, scale, quat, opacity, cam, bg=0.3, backend=backend,
+                    capacity=256, render_geo=False, compute_invdepth=False,
+                )
+                return (
+                    (out["render"] * kc).sum() + (out["final_T"] * kT).sum()
+                )
+
+            return f
+
+        return make
+
+    def test_train_config_forward_and_grads(self, rng, cam, _train_flavor):
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
+        kc = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        kT = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        make = self._fns(cam, kc, kT)
+        f_ref, f_fast = make("reference"), make("pallas")
+        np.testing.assert_allclose(
+            float(f_fast(xyz, scale, quat, opacity)),
+            float(f_ref(xyz, scale, quat, opacity)),
+            rtol=1e-4,
+        )
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(xyz, scale, quat, opacity)
+        g_fast = jax.grad(f_fast, argnums=(0, 1, 2, 3))(xyz, scale, quat, opacity)
+        for a, b, name in zip(g_fast, g_ref, ("xyz", "scale", "quat", "opacity")):
+            a, b = np.asarray(a), np.asarray(b)
+            m = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / m, b / m, atol=5e-4, err_msg=name)
+            assert np.abs(b).max() > 0, f"oracle grad for {name} is all zero"
+
+    def test_train_config_matches_table_flavor(self, rng, cam, monkeypatch, _train_flavor):
+        """blend_train must agree bit-for-bit-ish with the payload-table
+        custom_vjp it replaces (same kernels, different reduction)."""
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
+        kc = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        kT = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        make = self._fns(cam, kc, kT)
+        f_train = make("pallas")
+        monkeypatch.setenv("CGT_BLEND_FLAVOR", "table")
+        f_table = make("pallas")
+        val_a = float(f_train(xyz, scale, quat, opacity))
+        ga = jax.grad(f_train, argnums=(0, 3))(xyz, scale, quat, opacity)
+        val_b = float(f_table(xyz, scale, quat, opacity))
+        gb = jax.grad(f_table, argnums=(0, 3))(xyz, scale, quat, opacity)
+        assert val_a == pytest.approx(val_b, rel=1e-6)
+        for a, b, name in zip(ga, gb, ("xyz", "opacity")):
+            a, b = np.asarray(a), np.asarray(b)
+            m = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / m, b / m, atol=1e-5, err_msg=name)
+
+    def test_big_tier_gradients(self, rng, cam, _train_flavor):
+        """Gaussians whose rect exceeds tier1 must get gradients through the
+        pos2/big_idx gather path (huge splats -> many tiles)."""
+        n = 6
+        xyz = jnp.asarray(rng.uniform(-0.2, 0.2, size=(n, 3)), jnp.float32)
+        scale = jnp.full((n, 3), 0.25, jnp.float32)  # big -> many tiles
+        quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (n, 1))
+        opacity = jnp.full((n,), 0.7, jnp.float32)
+        kc = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        kT = jnp.zeros((cam.height, cam.width), jnp.float32)
+        make = self._fns(cam, kc, kT)
+        g_ref = jax.grad(make("reference"))(xyz, scale, quat, opacity)
+        g_fast = jax.grad(make("pallas"))(xyz, scale, quat, opacity)
+        a, b = np.asarray(g_fast), np.asarray(g_ref)
+        m = np.abs(b).max() + 1e-8
+        assert m > 1e-8
+        np.testing.assert_allclose(a / m, b / m, atol=5e-4)
