@@ -41,14 +41,11 @@ def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray, modifier: float = 1.0) ->
     return jnp.einsum("pij,pj,pkj->pik", R, s2, R)
 
 
-def ewa_cov2d(
-    mean3d: jnp.ndarray,
-    cov3d: jnp.ndarray,
-    cam: Camera,
-) -> jnp.ndarray:
-    """Project world covariance to 2D pixel covariance (EWA splatting).
+def _jacobian_rows(mean3d: jnp.ndarray, cam: Camera):
+    """The two image rows of T = J @ W as per-component [P] scalars.
 
-    Returns [P,3] (cov_xx, cov_xy, cov_yy) WITHOUT the low-pass dilation.
+    Returns ((t00, t01, t02), (t10, t11, t12)) with the reference's
+    1.3*tanfov frustum clamp applied inside J (forward.cu:86-113).
     """
     Wv = cam.world_to_cam[:3, :3]
     tview = mean3d @ Wv.T + cam.world_to_cam[:3, 3]
@@ -66,15 +63,78 @@ def ewa_cov2d(
     j02 = -fx * tx * inv_z2
     j11 = fy * inv_z
     j12 = -fy * ty * inv_z2
-    # T = J @ Wv : [P, 2, 3]
-    T0 = j00[:, None] * Wv[0][None, :] + j02[:, None] * Wv[2][None, :]
-    T1 = j11[:, None] * Wv[1][None, :] + j12[:, None] * Wv[2][None, :]
+    T0 = tuple(j00 * Wv[0, i] + j02 * Wv[2, i] for i in range(3))
+    T1 = tuple(j11 * Wv[1, i] + j12 * Wv[2, i] for i in range(3))
+    return T0, T1
+
+
+def ewa_cov2d(
+    mean3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    cam: Camera,
+) -> jnp.ndarray:
+    """Project world covariance to 2D pixel covariance (EWA splatting).
+
+    Returns [P,3] (cov_xx, cov_xy, cov_yy) WITHOUT the low-pass dilation.
+    General form for an explicit [P,3,3] cov3d (tests, cov3d_precomp
+    compat); the hot path uses ewa_cov2d_direct, which never materializes
+    the 3x3s.
+    """
+    (t00, t01, t02), (t10, t11, t12) = _jacobian_rows(mean3d, cam)
+    T0 = jnp.stack([t00, t01, t02], axis=-1)
+    T1 = jnp.stack([t10, t11, t12], axis=-1)
     # cov2d = T Sigma T^T
     S0 = jnp.einsum("pi,pij->pj", T0, cov3d)
     S1 = jnp.einsum("pi,pij->pj", T1, cov3d)
     cxx = jnp.einsum("pj,pj->p", S0, T0)
     cxy = jnp.einsum("pj,pj->p", S0, T1)
     cyy = jnp.einsum("pj,pj->p", S1, T1)
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def ewa_cov2d_direct(
+    mean3d: jnp.ndarray,
+    scale: jnp.ndarray,
+    quat: jnp.ndarray,
+    cam: Camera,
+    modifier: float = 1.0,
+) -> jnp.ndarray:
+    """EWA 2D covariance straight from (scale, quat) as ONE elementwise
+    fusion — no [P,3,3] intermediates.
+
+    Identical math to ewa_cov2d(build_cov3d(...)): with M = R diag(s) the
+    world covariance is M M^T, so cov2d = (T M)(T M)^T needs only the two
+    rows u = T0 M, v = T1 M.  Expressed per component on [P] vectors, XLA
+    fuses the whole chain into one VPU pass; the einsum formulation instead
+    materialized [P,3,3] arrays whose layout copies, bf16 MXU passes and
+    autodiff transposes cost ~2.9 ms/step at the bench point (trace
+    r3/trace_1v) for what is ~60 flops/Gaussian of arithmetic.
+    """
+    w, x, y, z = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s0 = modifier * scale[:, 0]
+    s1 = modifier * scale[:, 1]
+    s2 = modifier * scale[:, 2]
+
+    (t00, t01, t02), (t10, t11, t12) = _jacobian_rows(mean3d, cam)
+    # u_k = (T0 . R[:, k]) s_k ; v_k = (T1 . R[:, k]) s_k
+    u0 = (t00 * r00 + t01 * r10 + t02 * r20) * s0
+    u1 = (t00 * r01 + t01 * r11 + t02 * r21) * s1
+    u2 = (t00 * r02 + t01 * r12 + t02 * r22) * s2
+    v0 = (t10 * r00 + t11 * r10 + t12 * r20) * s0
+    v1 = (t10 * r01 + t11 * r11 + t12 * r21) * s1
+    v2 = (t10 * r02 + t11 * r12 + t12 * r22) * s2
+    cxx = u0 * u0 + u1 * u1 + u2 * u2
+    cxy = u0 * v0 + u1 * v1 + u2 * v2
+    cyy = v0 * v0 + v1 * v1 + v2 * v2
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
@@ -106,8 +166,7 @@ def preprocess(
     ndc_xy = hom[:, :2] * inv_w[:, None]
     z_view = mean3d @ cam.world_to_cam[2, :3] + cam.world_to_cam[2, 3]
 
-    cov3d = build_cov3d(scale, quat, scale_modifier)
-    cov = ewa_cov2d(mean3d, cov3d, cam)
+    cov = ewa_cov2d_direct(mean3d, scale, quat, cam, scale_modifier)
     det_raw = cov[:, 0] * cov[:, 2] - cov[:, 1] ** 2
     cxx = cov[:, 0] + H_VAR
     cyy = cov[:, 2] + H_VAR

@@ -35,6 +35,15 @@ def main():
     p.add_argument("--curves", type=int, default=24)
     p.add_argument("--lines", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--detector", default="DexiNed",
+                   help="edge-map directory suffix (edge_<detector>/); the "
+                        "loader substitutes color/ -> edge_<detector>/ per "
+                        "ModelConfig.detector (reference "
+                        "dataset_readers.py:112-121)")
+    p.add_argument("--edge-blur", type=float, default=0.0,
+                   help="Gaussian sigma (px) smearing the fabricated maps — "
+                        "PidiNet detections are thicker/softer than DexiNed; "
+                        "pair with a larger --gt-width for that protocol")
     p.add_argument("--gt-width", type=float, default=0.003)
     p.add_argument("--tile-capacity", type=int, default=1024)
     p.add_argument("--cpu", action="store_true")
@@ -75,8 +84,9 @@ def main():
     quat = g["quat"].reshape(-1, 4)
     opa = jnp.full((xyz.shape[0],), 0.95, jnp.float32)
 
+    edge_dir = f"edge_{args.detector}"
     os.makedirs(os.path.join(args.out, "color"), exist_ok=True)
-    os.makedirs(os.path.join(args.out, "edge_DexiNed"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, edge_dir), exist_ok=True)
 
     import functools
 
@@ -102,11 +112,22 @@ def main():
         img = np.asarray(img)
         if int(ov):
             print(f"view {i}: overflow {int(ov)} (raise --tile-capacity)")
+        if args.edge_blur > 0:
+            # separable Gaussian smear (host numpy): PidiNet-style soft maps
+            r = max(1, int(3 * args.edge_blur))
+            x = np.arange(-r, r + 1)
+            k = np.exp(-(x**2) / (2 * args.edge_blur**2))
+            k /= k.sum()
+            img = np.apply_along_axis(
+                lambda m: np.convolve(m, k, mode="same"), 0, img
+            )
+            img = np.apply_along_axis(
+                lambda m: np.convolve(m, k, mode="same"), 1, img
+            )
+            img /= max(img.max(), 1e-6)  # re-peak to 1 like detector output
         name = f"{i:04d}.png"
         arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
-        Image.fromarray(arr).save(
-            os.path.join(args.out, "edge_DexiNed", name)
-        )
+        Image.fromarray(arr).save(os.path.join(args.out, edge_dir, name))
         # color/ is only consulted for its path name by the loader; store the
         # same map so the directory layout matches a real EMAP export
         Image.fromarray(arr).save(os.path.join(args.out, "color", name))

@@ -203,3 +203,40 @@ def test_minimal_rotation_frame_equivalent_covariance(rng):
     np.testing.assert_allclose(
         np.asarray(cov_new), np.asarray(cov_tf), atol=1e-7
     )
+
+
+def test_ewa_direct_matches_einsum_form(rng):
+    """ewa_cov2d_direct (fused component hot path) == ewa_cov2d(build_cov3d)
+    (the explicit [P,3,3] formulation), values and gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from curve_gaussian_tpu.data import synthetic
+    from curve_gaussian_tpu.ops.projection import (
+        build_cov3d,
+        ewa_cov2d,
+        ewa_cov2d_direct,
+    )
+
+    cam = synthetic.ring_cameras(1, 64, 96)[0]
+    P = 257
+    xyz = jnp.asarray(rng.normal(0.5, 0.3, (P, 3)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(1e-3, 0.05, (P, 3)), jnp.float32)
+    q = rng.normal(size=(P, 4))
+    quat = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True), jnp.float32)
+
+    def f_direct(xyz, scale, quat):
+        return jnp.sum(ewa_cov2d_direct(xyz, scale, quat, cam) ** 2)
+
+    def f_einsum(xyz, scale, quat):
+        return jnp.sum(ewa_cov2d(xyz, build_cov3d(scale, quat), cam) ** 2)
+
+    a = ewa_cov2d_direct(xyz, scale, quat, cam)
+    b = ewa_cov2d(xyz, build_cov3d(scale, quat), cam)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+    ga = jax.grad(f_direct, argnums=(0, 1, 2))(xyz, scale, quat)
+    gb = jax.grad(f_einsum, argnums=(0, 1, 2))(xyz, scale, quat)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=3e-4, atol=1e-6
+        )
