@@ -27,6 +27,7 @@ from ..models import curve_state as cs
 from ..models import surgery
 from ..ops.camera import Camera
 from . import checkpoint as ckpt_mod
+from . import warm as warm_mod
 from .train import (
     TrainState,
     eval_render,
@@ -181,23 +182,39 @@ class Prewarmer:
     lower+compile thunks populating the persistent compile cache) are
     prioritized by the iteration at which their shape is first needed.
     `execute=False` drains jobs without compiling (CPU tests); `block=True`
-    never drains them (deferral tests)."""
+    never drains them (deferral tests).
 
-    def __init__(self, enabled: bool, execute: bool = True, block: bool = False):
+    `subproc=True` runs jobs that carry a picklable spec (a `(thunk, spec)`
+    tuple; see engine/warm.py) in a FRESH python process instead of calling
+    the thunk: in-process .lower() costs ~5-10 s of GIL each and elevates
+    early foreground chunks 30-50% (ROADMAP.md); the subprocess populates
+    the shared persistent compile cache at zero GIL cost.  Thunks remain
+    the fallback when the subprocess fails."""
+
+    def __init__(
+        self,
+        enabled: bool,
+        execute: bool = True,
+        block: bool = False,
+        subproc: bool = False,
+    ):
         self.enabled = enabled
         self.execute = execute
         self.block = block
+        self.subproc = subproc
         self._q: "queue.PriorityQueue" = queue.PriorityQueue()
         self._seq = 0
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
     def submit(self, need_iter: int, thunks, done_evt=None, valid=None) -> None:
-        """Queue a compile job.  `valid` (optional callable) is re-checked
-        when the job is popped: background compiles cost real contention on
-        the remote compile helper, so jobs whose target config the run has
-        moved past are dropped instead of compiled (their done_evt is then
-        never set — nobody should switch to a stale bucket)."""
+        """Queue a compile job.  Each element of `thunks` is a bare callable
+        or a `(callable, spec)` tuple.  `valid` (optional callable) is
+        re-checked when the job is popped: background compiles cost real
+        contention on the remote compile helper, so jobs whose target config
+        the run has moved past are dropped instead of compiled (their
+        done_evt is then never set — nobody should switch to a stale
+        bucket)."""
         if not self.enabled:
             return
         with self._lock:
@@ -206,6 +223,20 @@ class Prewarmer:
             if self._thread is None and not self.block:
                 self._thread = threading.Thread(target=self._work, daemon=True)
                 self._thread.start()
+
+    def _run_job(self, thunks) -> None:
+        jobs = [t if isinstance(t, tuple) else (t, None) for t in thunks]
+        if self.subproc and all(spec is not None for _, spec in jobs):
+            from . import warm
+
+            if warm.warm_subprocess([spec for _, spec in jobs]):
+                return
+            # fall through: run the thunks in-process as before
+        for fn, _ in jobs:
+            try:
+                fn()
+            except Exception as e:  # pragma: no cover - best effort
+                print(f"prewarm failed: {e}", flush=True)
 
     def _work(self) -> None:
         while True:
@@ -222,12 +253,8 @@ class Prewarmer:
                     continue  # stale: config moved on, skip the compile
             except Exception:  # pragma: no cover - best effort
                 pass
-            for t in thunks:
-                try:
-                    if self.execute:
-                        t()
-                except Exception as e:  # pragma: no cover - best effort
-                    print(f"prewarm failed: {e}", flush=True)
+            if self.execute:
+                self._run_job(thunks)
             if evt is not None:
                 evt.set()
 
@@ -367,6 +394,8 @@ def train_scene(
         and not os.environ.get("CGT_NO_PREWARM"),
         execute=_backend_tpu,
         block=bool(os.environ.get("CGT_DEFER_BLOCK")),
+        # subprocess warms only on real hardware: CPU tests drain in-thread
+        subproc=_backend_tpu and not os.environ.get("CGT_NO_SUBWARM"),
     )
     defer_on = prewarmer.enabled and not os.environ.get("CGT_NO_DEFER")
     # warm-state per compiled (curve capacity, tile_capacity) bucket
@@ -395,49 +424,49 @@ def train_scene(
         return _jax.tree.map(f, ts_now)
 
     def _combo_thunk(ts_shapes, pipe, kp: int, um: bool, co: bool):
-        def thunk():
-            if parallel:
-                cam_s = tuple(
-                    _jax.ShapeDtypeStruct((kp, B) + a.shape[1:], a.dtype)
-                    for a in (w2c_all, proj_all, ctr_all)
-                )
-                gt_s = _jax.ShapeDtypeStruct(
-                    (kp, B) + gt_all.shape[1:], gt_all.dtype
-                )
-                ps.parallel_train_steps_scan.lower(
-                    ts_shapes, cam_s, gt_s, _bg_s, opt_cfg, pipe,
-                    use_mask=um, mesh_shape=(("data", ndev),),
-                    cam_geom=cam_geom, conn_on=co, n_active=_scalar_s,
-                ).compile()
-            else:
-                cam_s = tuple(
-                    _jax.ShapeDtypeStruct((kp,) + a.shape[1:], a.dtype)
-                    for a in (w2c_all, proj_all, ctr_all)
-                )
-                gt_s = _jax.ShapeDtypeStruct(
-                    (kp,) + gt_all.shape[1:], gt_all.dtype
-                )
-                train_steps_scan.lower(
-                    ts_shapes, cam_s, gt_s, _bg_s, opt_cfg, pipe,
-                    use_mask=um, n_gaussians=m, cam_geom=cam_geom,
-                    conn_on=co, n_active=_scalar_s,
-                ).compile()
-
-        return thunk
+        if parallel:
+            cam_s = tuple(
+                _jax.ShapeDtypeStruct((kp, B) + a.shape[1:], a.dtype)
+                for a in (w2c_all, proj_all, ctr_all)
+            )
+            gt_s = _jax.ShapeDtypeStruct(
+                (kp, B) + gt_all.shape[1:], gt_all.dtype
+            )
+            mesh_shape = (("data", ndev),)
+        else:
+            cam_s = tuple(
+                _jax.ShapeDtypeStruct((kp,) + a.shape[1:], a.dtype)
+                for a in (w2c_all, proj_all, ctr_all)
+            )
+            gt_s = _jax.ShapeDtypeStruct(
+                (kp,) + gt_all.shape[1:], gt_all.dtype
+            )
+            mesh_shape = None
+        spec = warm_mod.combo_spec(
+            ts_shapes, cam_s, gt_s, _bg_s, opt_cfg, pipe,
+            use_mask=um, conn_on=co, n_gaussians=m, cam_geom=cam_geom,
+            mesh_shape=mesh_shape,
+        )
+        return (lambda: warm_mod.run_spec(spec), spec)
 
     def _eval_thunk(ts_shapes, pipe, um: bool):
-        def thunk():
-            cam_s = _jax.tree.map(_sds, test_cameras[0])
-            eval_render.lower(
-                ts_shapes, cam_s, pipe, _bg_s, use_mask=um,
-                n_gaussians=m, mask_threshold=opt_cfg.mask_threshold,
-            ).compile()
-
-        return thunk
+        spec = warm_mod.eval_spec(
+            ts_shapes, _jax.tree.map(_sds, test_cameras[0]), pipe, _bg_s,
+            use_mask=um, n_gaussians=m,
+            mask_threshold=opt_cfg.mask_threshold,
+        )
+        return (lambda: warm_mod.run_spec(spec), spec)
 
     # live config the worker's validity checks read: stale jobs (buckets
     # the run moved past) are dropped rather than compiled — each compile
-    # costs minutes of real contention on the remote compile helper
+    # costs minutes of real contention on the remote compile helper.
+    # CONCURRENCY CONTRACT: `live` is written ONLY by this (main) thread and
+    # read by the Prewarmer worker's validity closures.  Every value is an
+    # atomically-replaced immutable (int/None) under CPython's GIL, and a
+    # validity check that reads a one-write-stale value is benign: it can
+    # only skip a compile that would have been warm slightly early, or warm
+    # one that just went stale — never corrupt state.  If values ever
+    # become mutable objects, add a lock.
     live = {
         "cap": ts.alive.shape[0],
         "K": pipe_cfg.tile_capacity,

@@ -79,7 +79,21 @@ def row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     0 <= idx < N (binning produces only in-bounds sentinel indices) and
     wrap producer/consumer in optimization_barrier so nothing re-fuses.
     Autodiff transpose is the matching bare scatter-add.
+
+    PROMISE_IN_BOUNDS makes an out-of-range index silent undefined behavior
+    on TPU, so the CPU test path (which interprets every kernel anyway)
+    checks the contract loudly here.
     """
+    if jax.default_backend() == "cpu" and not isinstance(
+        jnp.asarray(idx), jax.core.Tracer
+    ):
+        lo = int(jnp.min(idx)) if idx.size else 0
+        hi = int(jnp.max(idx)) if idx.size else 0
+        if lo < 0 or hi >= table.shape[0]:
+            raise IndexError(
+                f"row_gather index out of bounds: [{lo}, {hi}] vs table "
+                f"rows {table.shape[0]} (PROMISE_IN_BOUNDS contract)"
+            )
     if table.ndim == 1:
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,)

@@ -64,15 +64,35 @@ def _blur(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("window_size",))
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over [..., H, W] single-channel images.
+@functools.partial(jax.jit, static_argnames=("window_size", "method"))
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    method: str | None = None,
+) -> jnp.ndarray:
+    """Mean SSIM over single-channel images.
 
-    The five blurred moment maps (mu1, mu2, E[x^2], E[y^2], E[xy]) ride ONE
-    batched matmul pair — a [..., 5, H, W] stack — instead of five separate
-    blur calls: the MXU sees one big contraction per direction and the
-    backward (transposed band matmuls over the same stack) batches the same
-    way."""
+    method: None (auto) | "fused" | "matmul".  Auto picks the fully-fused
+    Pallas kernel pair (ssim_pallas.py: one dispatch forward, one backward,
+    ~8x less HBM traffic than the 4-fusion XLA chain) whenever the inputs
+    are a plain 2-D pair whose padded images + row-band matrix fit in VMEM
+    (fused_vmem_bytes <= 10 MB; Replica-width frames and batched stacks take
+    the matmul path below).  Both are exact 'same'-zero-padding SSIM and
+    share the parity suite (tests/test_ssim.py).
+
+    Matmul path: the five blurred moment maps (mu1, mu2, E[x^2], E[y^2],
+    E[xy]) ride ONE batched matmul pair — a [..., 5, H, W] stack — instead
+    of five separate blur calls: the MXU sees one big contraction per
+    direction and the backward (transposed band matmuls over the same
+    stack) batches the same way."""
+    from .ssim_pallas import fused_vmem_bytes, ssim_fused
+
+    if method not in (None, "fused", "matmul"):
+        raise ValueError(f"ssim method {method!r}")
+    if method != "matmul" and img1.ndim == 2 and img1.dtype == jnp.float32:
+        if method == "fused" or fused_vmem_bytes(*img1.shape) <= 10 * 2**20:
+            return ssim_fused(img1, img2, window_size)
     stack = jnp.stack(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-3
     )

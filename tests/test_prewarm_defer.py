@@ -163,6 +163,74 @@ def test_sds_lowering_matches_real_arrays():
     assert lo_sds.as_text() == lo_real.as_text()
 
 
+def _tiny_combo_spec():
+    """A minimal 'steps' warm spec (mirrors the loop.py construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from curve_gaussian_tpu.data import synthetic
+    from curve_gaussian_tpu.engine import train as T
+    from curve_gaussian_tpu.engine import warm
+    from curve_gaussian_tpu.models import curve_state as cs
+
+    H = W = 32
+    cams = synthetic.ring_cameras(2, H, W)
+    seed = synthetic.grid_seed_points(3)
+    state = cs.init_state(seed, n_views=2, n_gaussians=4)
+    ts = T.init_train_state(state)
+    kp = 2
+    sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+    w2c = jnp.stack([c.world_to_cam for c in cams])
+    proj = jnp.stack([c.full_proj for c in cams])
+    ctr = jnp.stack([c.cam_center for c in cams])
+    cam_s = tuple(
+        jax.ShapeDtypeStruct((kp,) + a.shape[1:], a.dtype)
+        for a in (w2c, proj, ctr)
+    )
+    return warm.combo_spec(
+        jax.tree.map(sds, ts), cam_s,
+        jax.ShapeDtypeStruct((kp, H, W), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.float32),
+        OptimizationConfig(), PipelineConfig(tile_capacity=128),
+        use_mask=True, conn_on=False, n_gaussians=4,
+        cam_geom=(H, W, cams[0].tanfovx, cams[0].tanfovy),
+    )
+
+
+def test_warm_spec_pickles_and_runs_inprocess():
+    """Warm specs must survive a pickle round-trip (the subprocess channel)
+    and run_spec must reconstruct a lowerable compile on this backend."""
+    import pickle
+
+    from curve_gaussian_tpu.engine import warm
+
+    spec = pickle.loads(pickle.dumps(_tiny_combo_spec()))
+    warm.run_spec(spec)  # lowers + compiles on the CPU test backend
+
+
+@pytest.mark.slow
+def test_warm_subprocess_end_to_end(monkeypatch):
+    """The subprocess warmer (engine/warm.py __main__) must import, read the
+    pickled specs, and compile cleanly in a fresh interpreter."""
+    from curve_gaussian_tpu.engine import warm
+
+    monkeypatch.setenv("CGT_WARM_PLATFORM", "cpu")
+    monkeypatch.setenv("CGT_CACHE_DIR", "")
+    assert warm.warm_subprocess([_tiny_combo_spec()], timeout=600)
+
+
+def test_prewarmer_tuple_jobs_fall_back_to_thunks():
+    """(thunk, spec) jobs run the thunk when subproc mode is off."""
+    import threading
+
+    ran = []
+    pw = Prewarmer(enabled=True, execute=True, subproc=False)
+    evt = threading.Event()
+    pw.submit(5, [(lambda: ran.append("a"), {"kind": "x"})], done_evt=evt)
+    assert evt.wait(timeout=5.0)
+    assert ran == ["a"]
+
+
 @pytest.fixture
 def shrink_run(tmp_path, monkeypatch):
     """A tiny train_scene whose surgery forcibly shrinks capacity 512->256
