@@ -177,14 +177,29 @@ def main():
         try:
             from curve_gaussian_tpu.parallel import sharding as sh
 
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh1 = sh.make_mesh(1)
+            repl = NamedSharding(mesh1, P())
+            shard = NamedSharding(mesh1, P(None, "data"))
             for B in (2, 4, 8):
                 vi = np.arange(K * B) % n_views
-                w2c_b = w2c[vi].reshape(K, B, 4, 4)
-                proj_b = proj[vi].reshape(K, B, 4, 4)
-                ctr_b = ctr[vi].reshape(K, B, 3)
-                gts_b = gt_all[vi].reshape(K, B, H, W)
-                ts_b = T.init_train_state(
-                    cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
+                # commit inputs + state to their mesh shardings up front:
+                # an uncommitted first call compiles a throwaway executable
+                # variant (the donated state comes back NamedSharding; the
+                # second call then recompiles — probed 60-136 s,
+                # scripts/probe_dp2.py)
+                w2c_b = jax.device_put(w2c[vi].reshape(K, B, 4, 4), shard)
+                proj_b = jax.device_put(proj[vi].reshape(K, B, 4, 4), shard)
+                ctr_b = jax.device_put(ctr[vi].reshape(K, B, 3), shard)
+                gts_b = jax.device_put(gt_all[vi].reshape(K, B, H, W), shard)
+                ts_b = jax.device_put(
+                    T.init_train_state(
+                        cs.init_state(
+                            seed_pts, n_views=n_views, n_gaussians=12
+                        )
+                    ),
+                    repl,
                 )
 
                 def chunk_b(ts_b):
@@ -198,6 +213,11 @@ def main():
                 ts_b, mb = chunk_b(ts_b)
                 float(np.asarray(mb["total"])[-1])
                 print(f"B={B} compile+chunk {time.time()-t0:.1f}s",
+                      file=sys.stderr)
+                t0 = time.time()
+                ts_b, mb = chunk_b(ts_b)  # absorb any residual recompile
+                float(np.asarray(mb["total"])[-1])
+                print(f"B={B} warm chunk {time.time()-t0:.1f}s",
                       file=sys.stderr)
                 t0 = time.time()
                 for _ in range(n_chunks):

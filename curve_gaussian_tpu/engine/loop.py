@@ -377,7 +377,6 @@ def train_scene(
                 f"data-parallel: {B} views/step over {ndev} device(s)",
                 flush=True,
             )
-
     # the whole run's chunk schedule is deterministic (config-only): every
     # compiled (kp, use_mask, conn_on) step shape is known up front
     events = build_events(
@@ -387,6 +386,21 @@ def train_scene(
     plan = chunk_plan(first_iter, opt_cfg, events, scan_chunk)
 
     import jax as _jax
+
+    # COMMIT the train state before the first step and after every host-side
+    # surgery: the scan executables donate ts, and their outputs come back
+    # committed (NamedSharding on the mesh / device-committed single-chip) —
+    # an UNCOMMITTED first call compiles a throwaway executable variant and
+    # the second call then silently recompiles, costing a hidden 60-136 s
+    # per step shape (probed: scripts/probe_dp2.py — committed warm1 0.87 s
+    # vs uncommitted 61-136 s; single-view control identical).
+    if parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _commit_target = NamedSharding(ps.make_mesh(ndev), _P())
+    else:
+        _commit_target = _jax.devices()[0]
+    ts = _jax.device_put(ts, _commit_target)
 
     _backend_tpu = _jax.default_backend() != "cpu"
     prewarmer = Prewarmer(
@@ -722,7 +736,10 @@ def train_scene(
                                 *gc[0],
                             )],
                         )
-            ts = ts2
+            # host-side surgery returns uncommitted arrays; recommit so the
+            # next chunk reuses the committed executable variant (see the
+            # _commit_target note above)
+            ts = _jax.device_put(ts2, _commit_target)
             live["cap"] = ts.alive.shape[0]
             live["alive"] = int(jnp.sum(ts.alive))
             if not quiet:

@@ -69,12 +69,24 @@ def _row_band_padded(W: int, Wp: int, window_size: int) -> np.ndarray:
     return B
 
 
+def _split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _dot(a, b):
-    return jnp.dot(
-        a, b,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # Hand-rolled 3-pass bf16 f32 emulation (~22 mantissa bits), the moral
+    # equivalent of Precision.HIGH — which Mosaic's dot lowering does not
+    # support (only DEFAULT/HIGHEST); HIGHEST's 6 passes measured 0.33 ms
+    # per value+grad at 512^2 vs the matmul path's 0.235 (probe_ssim_tpu).
+    # hi*hi + hi*lo + lo*hi covers every product term above 2^-24 relative;
+    # indistinguishable from full f32 for 11-tap blurs of [0,1] images
+    # (parity tests hold at 2e-5 vs torch f64, same as ops/ssim.py HIGH).
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    f = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return f(ah, bh) + f(ah, bl) + f(al, bh)
 
 
 def _moments(s1, s2, col_m, bx):
