@@ -113,7 +113,10 @@ def main():
     ]
     seed_pts = synthetic.grid_seed_points(15)  # 3375 curves
     state = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
-    ts = T.init_train_state(state)
+    # commit the donated state up front: an uncommitted first call compiles
+    # a throwaway executable variant and the SECOND call silently recompiles
+    # (60-136 s; probed, scripts/probe_dp2.py)
+    ts = jax.device_put(T.init_train_state(state), jax.devices()[0])
     opt_cfg = OptimizationConfig()
     pipe_cfg = PipelineConfig()  # default tile_capacity (see config.py)
     bg = jnp.zeros(())
@@ -249,7 +252,7 @@ def main():
         state_m = cs.init_state(
             seed_pts[:: 8], n_views=n_views, n_gaussians=12, capacity=512
         )
-        ts_m = T.init_train_state(state_m)
+        ts_m = jax.device_put(T.init_train_state(state_m), jax.devices()[0])
 
         def chunk_m(ts_m):
             vi = jnp.arange(K, dtype=jnp.int32) % n_views
