@@ -197,14 +197,21 @@ class Prewarmer:
         execute: bool = True,
         block: bool = False,
         subproc: bool = False,
+        workers: int = 3,
     ):
         self.enabled = enabled
         self.execute = execute
         self.block = block
         self.subproc = subproc
+        # concurrent warm subprocesses: a cold run consumes compiled shapes
+        # far faster than one serial 60-130 s compile stream can produce
+        # them (pidinet cold run: 64 s of compute vs ~870 s of compiles).
+        # The remote compile helper parallelizes; 3 concurrent warms cut the
+        # critical path ~3x while the foreground compiles its own next shape.
+        self.workers = max(1, workers if subproc else 1)
         self._q: "queue.PriorityQueue" = queue.PriorityQueue()
         self._seq = 0
-        self._thread: Optional[threading.Thread] = None
+        self._threads: list = []
         self._lock = threading.Lock()
 
     def submit(self, need_iter: int, thunks, done_evt=None, valid=None) -> None:
@@ -220,9 +227,12 @@ class Prewarmer:
         with self._lock:
             self._q.put((need_iter, self._seq, list(thunks), done_evt, valid))
             self._seq += 1
-            if self._thread is None and not self.block:
-                self._thread = threading.Thread(target=self._work, daemon=True)
-                self._thread.start()
+            if not self.block:
+                self._threads = [t for t in self._threads if t.is_alive()]
+                if len(self._threads) < min(self.workers, self._q.qsize()):
+                    t = threading.Thread(target=self._work, daemon=True)
+                    self._threads.append(t)
+                    t.start()
 
     def _run_job(self, thunks) -> None:
         jobs = [t if isinstance(t, tuple) else (t, None) for t in thunks]
@@ -245,7 +255,11 @@ class Prewarmer:
             except queue.Empty:
                 with self._lock:
                     if self._q.empty():
-                        self._thread = None
+                        me = threading.current_thread()
+                        self._threads = [
+                            t for t in self._threads
+                            if t is not me and t.is_alive()
+                        ]
                         return
                 continue
             try:
