@@ -26,6 +26,11 @@ class ModelConfig:
     white_background: bool = False
     train_test_exp: bool = False
     eval: bool = False
+    # edge-map polarity handling ("auto" | "on" | "off"): real detector dumps
+    # can be dark-edges-on-white (the reference inverts DexiNed maps itself,
+    # edge_extraction/extract_para_edge.py:49-53); see
+    # data/dataset.py:apply_edge_polarity
+    invert_edges: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -50,6 +50,37 @@ def _load_edge_image(path: str, resolution_divisor: float) -> np.ndarray:
     return arr
 
 
+def apply_edge_polarity(maps: List[np.ndarray], mode: str) -> List[np.ndarray]:
+    """Normalize edge maps to bright-edges-on-dark.
+
+    Real detector dumps vary in polarity: the reference itself inverts
+    DexiNed maps in places (`1 - px/255`, edge_extraction/
+    extract_para_edge.py:49-53), i.e. stored PNGs can be dark-edges-on-white.
+    The renderer composites bright splats over a dark background, so maps
+    must be bright-on-dark.  `mode`: "on" always inverts, "off" never, and
+    "auto" (default) inverts when the SCENE-level mean intensity exceeds 0.6
+    — edges are sparse, so a white-background map averages ~0.85+ while a
+    correct map averages well under 0.5.  Scene-level (not per-image) so all
+    views agree even if one frame is nearly empty.
+    """
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"invert_edges={mode!r} not in ('auto','on','off')")
+    if not maps:
+        return maps
+    invert = mode == "on" or (
+        mode == "auto"
+        and float(np.mean([float(m.mean()) for m in maps])) > 0.6
+    )
+    if invert:
+        print(
+            "edge maps look dark-on-white (scene mean intensity > 0.6): "
+            "inverting to bright-on-dark",
+            flush=True,
+        )
+        maps = [1.0 - m for m in maps]
+    return maps
+
+
 def _resolution_divisor(resolution: int, orig_w: int) -> float:
     """utils/camera_utils.py:22-42 semantics."""
     if resolution in (1, 2, 3, 4, 8):
@@ -102,6 +133,7 @@ def load_emap(cfg: ModelConfig) -> LoadedScene:
         maps.append(edge)
         centers.append(c2w[:3, 3])
     seed = _emap_seed_points(path)
+    maps = apply_edge_polarity(maps, cfg.invert_edges)
     test_cams, test_maps = (cams, maps) if cfg.eval else ([], [])
     return LoadedScene(
         train_cameras=cams,
@@ -163,6 +195,7 @@ def load_blender(cfg: ModelConfig) -> LoadedScene:
         maps.append(edge)
         centers.append(c2w[:3, 3])
     seed = grid_seed_points(15)
+    maps = apply_edge_polarity(maps, cfg.invert_edges)
     test_cams, test_maps = (cams, maps) if cfg.eval else ([], [])
     return LoadedScene(
         train_cameras=cams,
@@ -213,6 +246,8 @@ def load_colmap(cfg: ModelConfig, llffhold: int = 8) -> LoadedScene:
         train_cams.append(cam)
         train_maps.append(edge)
     seed = pts.astype(np.float32) if len(pts) else grid_seed_points(15)
+    train_maps = apply_edge_polarity(train_maps, cfg.invert_edges)
+    test_maps = apply_edge_polarity(test_maps, cfg.invert_edges)
     return LoadedScene(
         train_cameras=train_cams,
         train_edge_maps=train_maps,

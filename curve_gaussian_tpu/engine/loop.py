@@ -213,6 +213,11 @@ class Prewarmer:
         self._seq = 0
         self._threads: list = []
         self._lock = threading.Lock()
+        # serializes the IN-PROCESS fallback across workers: each .lower()
+        # costs ~5-10 s of GIL, so concurrent fallbacks would reintroduce
+        # the foreground contention both the single-thread design and the
+        # subprocess mode exist to avoid (round-3 advisor finding)
+        self._inproc_lock = threading.Lock()
 
     def submit(self, need_iter: int, thunks, done_evt=None, valid=None) -> None:
         """Queue a compile job.  Each element of `thunks` is a bare callable
@@ -241,12 +246,14 @@ class Prewarmer:
 
             if warm.warm_subprocess([spec for _, spec in jobs]):
                 return
-            # fall through: run the thunks in-process as before
-        for fn, _ in jobs:
-            try:
-                fn()
-            except Exception as e:  # pragma: no cover - best effort
-                print(f"prewarm failed: {e}", flush=True)
+            # fall through: run the thunks in-process (serialized — at most
+            # one worker at a time pays the .lower() GIL cost)
+        with self._inproc_lock:
+            for fn, _ in jobs:
+                try:
+                    fn()
+                except Exception as e:  # pragma: no cover - best effort
+                    print(f"prewarm failed: {e}", flush=True)
 
     def _work(self) -> None:
         while True:
@@ -399,6 +406,11 @@ def train_scene(
     )
     plan = chunk_plan(first_iter, opt_cfg, events, scan_chunk)
 
+    # learned per-view exposure (reference train_test_exp, train.py:95):
+    # the jitted steps receive each step's TRAIN view index and apply
+    # params["exposure"][view] to the render inside the loss
+    use_exp = bool(getattr(model_cfg, "train_test_exp", False))
+
     import jax as _jax
 
     # COMMIT the train state before the first step and after every host-side
@@ -461,6 +473,9 @@ def train_scene(
                 (kp, B) + gt_all.shape[1:], gt_all.dtype
             )
             mesh_shape = (("data", ndev),)
+            vi_s = (
+                _jax.ShapeDtypeStruct((kp, B), jnp.int32) if use_exp else None
+            )
         else:
             cam_s = tuple(
                 _jax.ShapeDtypeStruct((kp,) + a.shape[1:], a.dtype)
@@ -470,10 +485,13 @@ def train_scene(
                 (kp,) + gt_all.shape[1:], gt_all.dtype
             )
             mesh_shape = None
+            vi_s = (
+                _jax.ShapeDtypeStruct((kp,), jnp.int32) if use_exp else None
+            )
         spec = warm_mod.combo_spec(
             ts_shapes, cam_s, gt_s, _bg_s, opt_cfg, pipe,
             use_mask=um, conn_on=co, n_gaussians=m, cam_geom=cam_geom,
-            mesh_shape=mesh_shape,
+            mesh_shape=mesh_shape, vi_shape=vi_s,
         )
         return (lambda: warm_mod.run_spec(spec), spec)
 
@@ -622,6 +640,8 @@ def train_scene(
                 cam_geom=cam_geom,
                 conn_on=conn_on,
                 n_active=n_active,
+                view_indices=vi if use_exp else None,
+                use_exposure=use_exp,
             )
         else:
             vi = jnp.asarray(idxs, jnp.int32)
@@ -637,6 +657,8 @@ def train_scene(
                 cam_geom=cam_geom,
                 conn_on=conn_on,
                 n_active=n_active,
+                view_indices=vi if use_exp else None,
+                use_exposure=use_exp,
             )
         metrics = {kk: np.asarray(v)[:k] for kk, v in metrics.items()}
         if prof is not None:

@@ -66,7 +66,10 @@ def curve_state_of(ts: TrainState) -> cs.CurveState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "conn_on"),
+    static_argnames=(
+        "opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "conn_on",
+        "use_exposure",
+    ),
     donate_argnums=(0,),
     compiler_options=COMPILER_OPTS,
 )
@@ -80,10 +83,12 @@ def train_step(
     use_mask: bool,
     n_gaussians: int,
     conn_on: bool | None = None,
+    view_idx: jnp.ndarray | None = None,
+    use_exposure: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     return _train_step_impl(
         ts, cam, gt_image, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians,
-        conn_on=conn_on,
+        conn_on=conn_on, view_idx=view_idx, use_exposure=use_exposure,
     )
 
 
@@ -97,9 +102,13 @@ def _train_step_impl(
     use_mask: bool,
     n_gaussians: int,
     conn_on: bool | None = None,
+    view_idx: jnp.ndarray | None = None,
+    use_exposure: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     cap = ts.alive.shape[0]
     P = cap * n_gaussians
+    if use_exposure and view_idx is None:
+        raise ValueError("use_exposure requires the step's view_idx")
 
     def loss_fn(params, mean2d_offset):
         state = cs.CurveState(
@@ -124,6 +133,10 @@ def _train_step_impl(
             compute_invdepth=False,
             capacity=pipe_cfg.tile_capacity,
             backend=pipe_cfg.backend,
+            # learned per-view exposure (reference train_test_exp:
+            # train.py:95, gaussian_renderer/__init__.py:132-135); grads
+            # flow to params["exposure"][view_idx] through the loss
+            exposure=params["exposure"][view_idx] if use_exposure else None,
         )
         loss, aux = L.total_loss(
             state, out, gauss, gt_image, opt_cfg, use_mask, conn_on=conn_on
@@ -172,7 +185,8 @@ def _train_step_impl(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "cam_geom", "conn_on"
+        "opt_cfg", "pipe_cfg", "use_mask", "n_gaussians", "cam_geom",
+        "conn_on", "use_exposure",
     ),
     donate_argnums=(0,),
     compiler_options=COMPILER_OPTS,
@@ -189,6 +203,8 @@ def train_steps_scan(
     cam_geom,  # (H, W, tanfovx, tanfovy) static
     conn_on: bool | None = None,
     n_active: jnp.ndarray | None = None,
+    view_indices: jnp.ndarray | None = None,  # [K] int32 (use_exposure only)
+    use_exposure: bool = False,
 ):
     """Run K training steps in ONE dispatch via lax.scan.
 
@@ -202,9 +218,15 @@ def train_steps_scan(
     Returns (ts, stacked per-step metrics)."""
     h, w, tfx, tfy = cam_geom
     K = gts.shape[0]
+    if use_exposure and view_indices is None:
+        raise ValueError("use_exposure requires per-step view_indices")
 
     def body(ts, xs):
-        i, w2c, proj, ctr, gt = xs
+        if use_exposure:
+            i, w2c, proj, ctr, gt, vix = xs
+        else:
+            i, w2c, proj, ctr, gt = xs
+            vix = None
         cam = Camera(
             world_to_cam=w2c,
             full_proj=proj,
@@ -216,7 +238,7 @@ def train_steps_scan(
         )
         ts2, metrics = _train_step_impl(
             ts, cam, gt, bg, opt_cfg, pipe_cfg, use_mask, n_gaussians,
-            conn_on=conn_on,
+            conn_on=conn_on, view_idx=vix, use_exposure=use_exposure,
         )
         if n_active is not None:
             act = i < n_active
@@ -226,13 +248,19 @@ def train_steps_scan(
         return ts2, metrics
 
     idx = jnp.arange(K, dtype=jnp.int32)
-    ts, metrics = jax.lax.scan(body, ts, (idx, *cam_arrays, gts))
+    xs = (idx, *cam_arrays, gts)
+    if use_exposure:
+        xs = xs + (view_indices,)
+    ts, metrics = jax.lax.scan(body, ts, xs)
     return ts, metrics
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pipe_cfg", "use_mask", "n_gaussians", "mask_threshold"),
+    static_argnames=(
+        "pipe_cfg", "use_mask", "n_gaussians", "mask_threshold",
+        "use_exposure",
+    ),
     compiler_options=COMPILER_OPTS,
 )
 def eval_render(
@@ -243,9 +271,13 @@ def eval_render(
     use_mask: bool = False,
     n_gaussians: int = 12,
     mask_threshold: float = 0.01,
+    view_idx: jnp.ndarray | None = None,
+    use_exposure: bool = False,
 ):
     state = curve_state_of(ts)
     gauss = cs.gaussians(state, use_mask=use_mask, mask_threshold=mask_threshold)
+    if use_exposure and view_idx is None:
+        raise ValueError("use_exposure requires the view's train index")
     return render(
         gauss["xyz"],
         gauss["scale"],
@@ -258,4 +290,7 @@ def eval_render(
         render_geo=pipe_cfg.render_geo,
         capacity=pipe_cfg.tile_capacity,
         backend=pipe_cfg.backend,
+        # reference applies the learned exposure at eval when train_test_exp
+        # (gaussian_renderer/__init__.py:132-135 runs for every render call)
+        exposure=ts.params["exposure"][view_idx] if use_exposure else None,
     )

@@ -35,7 +35,7 @@ from typing import Dict, List
 def combo_spec(
     ts_shapes, cam_shapes, gt_shape, bg_shape, opt_cfg, pipe_cfg,
     use_mask: bool, conn_on: bool, n_gaussians: int, cam_geom,
-    mesh_shape=None,
+    mesh_shape=None, vi_shape=None,
 ) -> Dict:
     return {
         "kind": "psteps" if mesh_shape is not None else "steps",
@@ -50,6 +50,9 @@ def combo_spec(
         "n_gaussians": n_gaussians,
         "cam_geom": tuple(cam_geom),
         "mesh_shape": mesh_shape,
+        # learned-exposure runs thread per-step view indices; None keeps the
+        # lowered module identical to the pre-exposure shapes
+        "vi_shape": vi_shape,
     }
 
 
@@ -78,6 +81,7 @@ def run_spec(spec: Dict) -> None:
 
     scalar_i = jax.ShapeDtypeStruct((), jnp.int32)
     kind = spec["kind"]
+    vi_shape = spec.get("vi_shape")
     if kind == "steps":
         T.train_steps_scan.lower(
             spec["ts_shapes"], spec["cam_shapes"], spec["gt_shape"],
@@ -85,6 +89,7 @@ def run_spec(spec: Dict) -> None:
             use_mask=spec["use_mask"], n_gaussians=spec["n_gaussians"],
             cam_geom=spec["cam_geom"], conn_on=spec["conn_on"],
             n_active=scalar_i,
+            view_indices=vi_shape, use_exposure=vi_shape is not None,
         ).compile()
     elif kind == "psteps":
         from ..parallel import sharding as ps
@@ -95,6 +100,7 @@ def run_spec(spec: Dict) -> None:
             use_mask=spec["use_mask"], mesh_shape=spec["mesh_shape"],
             cam_geom=spec["cam_geom"], conn_on=spec["conn_on"],
             n_active=scalar_i,
+            view_indices=vi_shape, use_exposure=vi_shape is not None,
         ).compile()
     elif kind == "eval":
         T.eval_render.lower(

@@ -82,6 +82,11 @@ _BPIPE = 4  # phase-1 sub-group width inside a bwd group (register pressure)
 # training-config backward flavor: moment-scratch (MXU combiner) vs the
 # parking kernel.  Module-level so benchmarks can A/B them in one process.
 USE_MOMENT_BWD = True
+# moment backward formulation: pixel-moment basis (ONE Dp scratch row per
+# instance + basis matmuls; round 4) vs direct central moments (six scratch
+# rows per instance; round 3).  Trace-time constant; probes A/B with fresh
+# jits.
+USE_BASIS_BWD = True
 
 
 def _interpret() -> bool:
@@ -665,8 +670,177 @@ def _make_bwd_moment_kernel(indirect: bool = True):
     return kernel
 
 
+def _make_bwd_moment_rmw_basis_kernel(PR: int, L):
+    """basis=True flavor of _make_bwd_moment_rmw_kernel (see its docstring)."""
+
+    def kernel(counts_ref, bg_ref, idx_ref, payload_ref,
+               outc_ref, outt_ref, gc_ref, gt_ref, acc_out_ref,
+               scr_ref, acc_ref):
+        fdt = payload_ref.dtype
+        t = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        tx = pl.program_id(1)
+        ty = pl.program_id(0)
+        n = _count(counts_ref)
+        px, py = _pixel_grids(fdt)
+        zero = jnp.zeros((REG_H, REG_W), fdt)
+        outt = outt_ref[:, :]
+        gt = gt_ref[:, :]
+        gc = gc_ref[:, :]
+        outc = outc_ref[:, :]
+        base_inv = -gt * outt - gc * outc
+
+        @pl.when(t == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros(acc_ref.shape, fdt)
+
+        rows_per = _CHUNK * REG_H  # 64 Dp scratch rows per group
+        # lane basis B [128, 8]: columns [1, px', ly, px'^2, px' ly, ly^2]
+        # in local pixel coords px' = lane % TILE_W, ly = lane // TILE_W
+        li = jax.lax.broadcasted_iota(jnp.int32, (REG_W, 8), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (REG_W, 8), 1)
+        pxl = (li % TILE_W).astype(fdt)
+        lyf = (li // TILE_W).astype(fdt)
+        zB = jnp.zeros((REG_W, 8), fdt)
+        oneB = zB + 1.0
+        Bmat = zB
+        for k, col in enumerate(
+            (oneB, pxl, lyf, pxl * pxl, pxl * lyf, lyf * lyf)
+        ):
+            Bmat = Bmat + jnp.where(ci == k, col, zB)
+        # sublane combiner C [24, 64]: rows 8i+s of R belong to instance i,
+        # sublane s; bands select weights [1, 4s, 16s^2] per instance
+        ri = jax.lax.broadcasted_iota(jnp.int32, (3 * _CHUNK, rows_per), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (3 * _CHUNK, rows_per), 1)
+        inst = ri % _CHUNK
+        band = ri // _CHUNK
+        sf = (rj % REG_H).astype(fdt)
+        wgt = jnp.where(
+            band == 0, 1.0, jnp.where(band == 1, 4.0 * sf, 16.0 * sf * sf)
+        )
+        Cmat = jnp.where(rj // REG_H == inst, wgt, 0.0).astype(fdt)
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 1)
+        slabpos = sub * 16 + lane // 8
+        lane_m8 = lane % 8
+        zrow128 = jnp.zeros((_CHUNK, 128), fdt)
+        sub8 = sub  # (8, 128) sublane index, for the cx/cy parking
+
+        one = zero + 1.0
+
+        def get(j):
+            return lambda f: payload_ref[0, j, f]
+
+        def phase1(j):
+            gf = get(j)
+            ca = gf(L["ca"])
+            cb = gf(L["cb"])
+            cc = gf(L["cc"])
+            opa = gf(L["opa"])
+            mx = gf(L["mx"])
+            my = gf(L["my"])
+            dx = mx - px
+            dy = my - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            G = _fast_exp(power)
+            alpha = jnp.minimum(ALPHA_MAX, opa * G)
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
+            ag = jnp.where(cand, alpha, zero)
+            return ag, G, mx, my
+
+        def group_cond(st):
+            g, state = st
+            return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
+
+        def group_body(st):
+            g, state = st
+            T_, act, gcpref = state
+            tx0 = (tx * TILE_W).astype(fdt)
+            ty0 = (ty * TILE_H).astype(fdt)
+            cxb = zrow128
+            cyb = zrow128
+            for s in range(_CHUNK // _BPIPE):
+                pre = [phase1(g * _CHUNK + s * _BPIPE + i)
+                       for i in range(_BPIPE)]
+                for i, (ag, G, mx, my) in enumerate(pre):
+                    aT = ag * T_
+                    ta = T_ - aT
+                    live = jnp.where(ta >= T_EPS, one, zero)
+                    w = aT * (act * live)
+                    act = act * jnp.where(ag > 0.0, live, one)
+                    T_i = T_
+                    T_ = T_ - w
+                    gcpref = gcpref + gc * w
+
+                    inv1a = 1.0 / (1.0 - ag)
+                    g_alpha = gc * T_i + inv1a * (base_inv + gcpref)
+                    g_alpha = g_alpha * jnp.where(w > 0.0, one, zero)
+                    Dp = g_alpha * G
+                    ii = s * _BPIPE + i
+                    scr_ref[pl.ds(REG_H * ii, REG_H), :] = Dp
+                    cxb = jnp.where(sub8 == ii, mx - tx0, cxb)
+                    cyb = jnp.where(sub8 == ii, my - ty0, cyb)
+            state = (T_, act, gcpref)
+            # local pixel-coordinate moments via two MXU dots
+            blk = scr_ref[...]  # (64, 128) Dp rows
+            R = jax.lax.dot_general(
+                blk, Bmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+            )  # (64, 8)
+            CR = jax.lax.dot_general(
+                Cmat, R, (((1,), (0,)), ((), ())),
+                preferred_element_type=fdt,
+            )  # (24, 8): [S1; S4; S16] @ R
+            U = CR[0:_CHUNK, :]
+            V = CR[_CHUNK : 2 * _CHUNK, :]
+            W2 = CR[2 * _CHUNK : 3 * _CHUNK, :]
+            S0 = U[:, 0:1]
+            Sx = U[:, 1:2]
+            Sy = V[:, 0:1] + U[:, 2:3]
+            Sxx = U[:, 3:4]
+            Sxy = V[:, 1:2] + U[:, 4:5]
+            Syy = W2[:, 0:1] + 2.0 * V[:, 2:3] + U[:, 5:6]
+            cx = cxb[:, 0:1]
+            cy = cyb[:, 0:1]
+            Ms = (
+                S0,
+                cx * S0 - Sx,
+                cy * S0 - Sy,
+                cx * (cx * S0 - 2.0 * Sx) + Sxx,
+                cx * cy * S0 - cx * Sy - cy * Sx + Sxy,
+                cy * (cy * S0 - 2.0 * Sy) + Syy,
+            )
+            rows128 = zrow128
+            for k, Mk in enumerate(Ms):
+                rows128 = rows128 + jnp.where(lane_m8 == k, Mk, zrow128)
+            off = g * _CHUNK
+            for i in range(_CHUNK):
+                gid = idx_ref[off + i]
+                base = pl.multiple_of((gid // 128) * 8, 8)
+                val = jnp.where(
+                    slabpos == gid % 128,
+                    jnp.broadcast_to(rows128[i : i + 1], (_CHUNK, 128)),
+                    zrow128,
+                )
+                acc_ref[pl.ds(base, _CHUNK), :] = (
+                    acc_ref[pl.ds(base, _CHUNK), :] + val
+                )
+            return (g + 1, state)
+
+        init = (zero + 1.0, zero + 1.0, zero)
+        jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
+
+        last = pl.num_programs(0) * pl.num_programs(1) - 1
+
+        @pl.when(t == last)
+        def _emit():
+            acc_out_ref[...] = acc_ref[...]
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=None)
-def _make_bwd_moment_rmw_kernel(PR: int):
+def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True):
     """Training-config backward with IN-KERNEL slot->Gaussian reduction.
 
     Same per-instance math and moment-scratch MXU combiner as
@@ -678,8 +852,33 @@ def _make_bwd_moment_rmw_kernel(PR: int):
     8-aligned row base (g//128)*8 with the placement done by vector masks.
     Instance ids come from the SMEM idx block (sentinel P rows carry zero
     moments, so their RMW adds zeros).  See blend_train for probe numbers.
+
+    `basis=True` (round 4): the per-instance phase stores ONE scratch row —
+    the adjoint map Dp = g_alpha * G — instead of the six dx/dy-weighted
+    maps.  The six central moments are recovered per group from six
+    TILE-LOCAL pixel-coordinate moments of Dp via the binomial expansion
+    with the instance's local center (cx, cy) = mean2d - tile origin:
+
+        M0 = S0                M1 = cx S0 - Sx        M2 = cy S0 - Sy
+        M3 = cx^2 S0 - 2 cx Sx + Sxx
+        M4 = cx cy S0 - cx Sy - cy Sx + Sxy
+        M5 = cy^2 S0 - 2 cy Sy + Syy
+
+    where S* are moments of Dp in local pixel coords px' = lane % 32 in
+    [0,32), py' = 4*sublane + lane//32 in [0,32).  The S* ride TWO small
+    MXU dots per 8-instance group — R = Dp_block(64,128) @ B(128,8) with
+    lane-basis columns [1, px', ly, px'^2, px' ly, ly^2] (ly = lane//32),
+    then CR = C(24,64) @ R with sublane weights [1, 4s, 16s^2] stacked —
+    and the binomial combination runs on (8,1) columns.  This deletes 5 of
+    6 per-instance (8,128) scratch stores and both dx/dy product chains
+    (~40% of the round-3 kernel's per-instance VPU+VMEM work).  Numerics:
+    |dx| >= |cx| - 31 by construction (a tile is a candidate only if the
+    support reaches it), so the expansion never cancels catastrophically —
+    f64-parity error stays ~1e-6 relative (tests/test_torch_fullstep_parity).
     """
     L, NF = field_layout(False, False, True)
+    if basis:
+        return _make_bwd_moment_rmw_basis_kernel(PR, L)
 
     def kernel(counts_ref, bg_ref, idx_ref, payload_ref,
                outc_ref, outt_ref, gc_ref, gt_ref, acc_out_ref,
@@ -1017,6 +1216,8 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
     PR = _acc_rows(P1)
     dt = payload.dtype
     img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
+    basis = USE_BASIS_BWD
+    n_scr = 1 if basis else 6  # Dp-only scratch vs six weighted maps
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),
@@ -1034,12 +1235,12 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
             pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
         ],
         scratch_shapes=[
-            pltpu.VMEM((6 * _CHUNK * REG_H, REG_W), dt),
+            pltpu.VMEM((n_scr * _CHUNK * REG_H, REG_W), dt),
             pltpu.VMEM((PR, 128), dt),
         ],
     )
     (acc,) = pl.pallas_call(
-        _make_bwd_moment_rmw_kernel(PR),
+        _make_bwd_moment_rmw_kernel(PR, basis),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((PR, 128), dt)],
         interpret=_interpret(),

@@ -90,7 +90,17 @@ def ssim(
 
     if method not in (None, "fused", "matmul"):
         raise ValueError(f"ssim method {method!r}")
-    if method != "matmul" and img1.ndim == 2 and img1.dtype == jnp.float32:
+    fusable = img1.ndim == 2 and img1.dtype == jnp.float32
+    if method == "fused" and not fusable:
+        # never silently run a different kernel than the one explicitly
+        # requested — a probe timing the "fused" path on bf16/batched inputs
+        # would measure the matmul path instead (round-3 advisor finding)
+        raise ValueError(
+            "ssim(method='fused') requires a 2-D float32 image pair, got "
+            f"ndim={img1.ndim} dtype={img1.dtype}; use method=None for "
+            "auto-fallback"
+        )
+    if method != "matmul" and fusable:
         if method == "fused" or fused_vmem_bytes(*img1.shape) <= 10 * 2**20:
             return ssim_fused(img1, img2, window_size)
     stack = jnp.stack(

@@ -189,10 +189,20 @@ def _pad(img, G: int, Wp: int):
 
 
 def fused_vmem_bytes(H: int, W: int) -> int:
-    """Rough persistent-VMEM footprint of the fused kernels (images + row
-    band matrix), used by ssim() to gate the fallback for wide images."""
+    """Rough persistent-VMEM footprint of the fused kernels, used by ssim()
+    to gate the fallback for wide images.  The BACKWARD is the binding
+    constraint: besides the two padded images and the row-band matrix it
+    holds ~10 per-tile (RB + 2*HALO, Wp) f32 intermediates (5 moment maps,
+    the d-maps and adjoint results) live at once — without that term the
+    estimate under-counted ~2x near the gate and a ~900-1000 px frame
+    could fail Mosaic VMEM allocation at compile time instead of falling
+    back to the matmul path (round-3 advisor finding)."""
     G, Wp = _geometry(H, W)
-    return 2 * (G * _RB + 4 * _HALO) * Wp * 4 + Wp * Wp * 4
+    return (
+        2 * (G * _RB + 4 * _HALO) * Wp * 4
+        + Wp * Wp * 4
+        + 10 * (_RB + 2 * _HALO) * Wp * 4
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

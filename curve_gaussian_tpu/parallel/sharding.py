@@ -71,6 +71,8 @@ def _one_view_grads(
     use_mask: bool,
     cam_geom,
     conn_on: bool | None = None,
+    view_idx: jnp.ndarray | None = None,
+    use_exposure: bool = False,
 ):
     is_bezier, alive = topo
     h, w, tfx, tfy = cam_geom
@@ -105,6 +107,7 @@ def _one_view_grads(
             compute_invdepth=False,
             capacity=pipe_cfg.tile_capacity,
             backend=pipe_cfg.backend,
+            exposure=params["exposure"][view_idx] if use_exposure else None,
         )
         loss, aux = L.total_loss(
             state, out, gauss, gt, opt_cfg, use_mask, conn_on=conn_on
@@ -136,6 +139,8 @@ def _local_batch_step(
     conn_on: bool | None,
     cam_geom,
     n_dev: int = 0,
+    view_idx: jnp.ndarray | None = None,  # [Bl] train-view ids
+    use_exposure: bool = False,
 ):
     """One optimizer step from a LOCAL shard of a B-view batch.
 
@@ -147,6 +152,8 @@ def _local_batch_step(
     w2c, proj, ctr, gt = xs
     nb = gt.shape[0]
     P_g = ts.alive.shape[0] * ts.params["mask_raw"].shape[1]
+    if use_exposure and view_idx is None:
+        raise ValueError("use_exposure requires per-view train indices")
 
     def body(carry, idx):
         gp_acc, goff_acc, tot_acc, ov_acc, vis_acc, rad_acc, pk_acc = carry
@@ -161,6 +168,8 @@ def _local_batch_step(
             use_mask,
             cam_geom,
             conn_on=conn_on,
+            view_idx=view_idx[idx] if use_exposure else None,
+            use_exposure=use_exposure,
         )
         return (
             jax.tree.map(jnp.add, gp_acc, gp),
@@ -233,7 +242,8 @@ def _local_batch_step(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom", "conn_on"
+        "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom",
+        "conn_on", "use_exposure",
     ),
     donate_argnums=(0,),
     compiler_options=COMPILER_OPTS,
@@ -249,6 +259,8 @@ def parallel_train_step(
     mesh_shape: Tuple[Tuple[str, int], ...],
     cam_geom: Tuple[int, int, float, float],
     conn_on: bool | None = None,
+    view_indices: jnp.ndarray | None = None,  # [B] int32 (use_exposure)
+    use_exposure: bool = False,
 ):
     """One data-parallel step over a B-view batch.
 
@@ -256,27 +268,37 @@ def parallel_train_step(
     stays hashable.  Params replicated, views sharded, grads psum-averaged.
     """
     mesh = make_mesh(dict(mesh_shape)["data"])
+    if use_exposure and view_indices is None:
+        raise ValueError("use_exposure requires per-view train indices")
+    # vi rides as a None pytree when exposure is off so the lowered module
+    # (and its persistent-cache key) is unchanged from the pre-exposure code
+    vi = view_indices if use_exposure else None
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), (P("data"), P("data"), P("data")), P("data"), P()),
+        in_specs=(
+            P(), (P("data"), P("data"), P("data")), P("data"), P(),
+            P("data") if use_exposure else P(),
+        ),
         out_specs=(P(), P()),
         check_rep=False,
     )
-    def run(ts, cam_arrays, gts, bg):
+    def run(ts, cam_arrays, gts, bg, vi):
         return _local_batch_step(
             ts, (*cam_arrays, gts), bg, opt_cfg, pipe_cfg, use_mask, conn_on,
             cam_geom, n_dev=dict(mesh_shape)["data"],
+            view_idx=vi, use_exposure=use_exposure,
         )
 
-    return run(ts, cam_arrays, gts, bg)
+    return run(ts, cam_arrays, gts, bg, vi)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom", "conn_on"
+        "opt_cfg", "pipe_cfg", "use_mask", "mesh_shape", "cam_geom",
+        "conn_on", "use_exposure",
     ),
     donate_argnums=(0,),
     compiler_options=COMPILER_OPTS,
@@ -293,6 +315,8 @@ def parallel_train_steps_scan(
     cam_geom: Tuple[int, int, float, float],
     conn_on: bool | None = None,
     n_active: jnp.ndarray | None = None,
+    view_indices: jnp.ndarray | None = None,  # [K, B] int32 (use_exposure)
+    use_exposure: bool = False,
 ):
     """K data-parallel steps (B views each) in ONE dispatch.
 
@@ -304,6 +328,9 @@ def parallel_train_steps_scan(
     Returns (ts, stacked per-step metrics [K])."""
     mesh = make_mesh(dict(mesh_shape)["data"])
     K = gts.shape[0]
+    if use_exposure and view_indices is None:
+        raise ValueError("use_exposure requires per-step view_indices")
+    vi = view_indices if use_exposure else None
 
     @functools.partial(
         shard_map,
@@ -314,16 +341,22 @@ def parallel_train_steps_scan(
             P(None, "data"),
             P(),
             P(),
+            P(None, "data") if use_exposure else P(),
         ),
         out_specs=(P(), P()),
         check_rep=False,
     )
-    def run(ts, cam_arrays, gts, bg, n_act):
+    def run(ts, cam_arrays, gts, bg, n_act, vi):
         def body(ts, xs):
-            i, w2c, proj, ctr, gt = xs
+            if use_exposure:
+                i, w2c, proj, ctr, gt, vix = xs
+            else:
+                i, w2c, proj, ctr, gt = xs
+                vix = None
             ts2, metrics = _local_batch_step(
                 ts, (w2c, proj, ctr, gt), bg, opt_cfg, pipe_cfg, use_mask,
                 conn_on, cam_geom, n_dev=dict(mesh_shape)["data"],
+                view_idx=vix, use_exposure=use_exposure,
             )
             if n_act is not None:
                 act = i < n_act
@@ -333,9 +366,12 @@ def parallel_train_steps_scan(
             return ts2, metrics
 
         idx = jnp.arange(K, dtype=jnp.int32)
-        return jax.lax.scan(body, ts, (idx, *cam_arrays, gts))
+        xs = (idx, *cam_arrays, gts)
+        if use_exposure:
+            xs = xs + (vi,)
+        return jax.lax.scan(body, ts, xs)
 
-    return run(ts, cam_arrays, gts, bg, n_active)
+    return run(ts, cam_arrays, gts, bg, n_active, vi)
 
 
 def camera_batch_arrays(cams: Sequence[Camera], mesh: Mesh | None = None):

@@ -26,6 +26,13 @@ def main():
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--white-background", "-w", action="store_true")
+    p.add_argument("--invert-edges", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="edge-map polarity: invert dark-on-white detector "
+                        "dumps (auto = scene mean intensity > 0.6)")
+    p.add_argument("--train-test-exp", action="store_true",
+                   help="learn a per-view affine exposure applied to the "
+                        "render during training (reference train_test_exp)")
     p.add_argument("--test-iterations", nargs="+", type=int, default=[3000, 10000])
     p.add_argument("--save-iterations", nargs="+", type=int, default=[3000, 10000])
     p.add_argument("--checkpoint-iterations", nargs="+", type=int, default=[])
@@ -129,6 +136,8 @@ def main():
         white_background=args.white_background,
         eval=args.eval,
         n_gaussians=args.n_gaussians,
+        train_test_exp=args.train_test_exp,
+        invert_edges=args.invert_edges,
     )
 
     if args.synthetic:
