@@ -95,12 +95,24 @@ def adam_update(
     freeze: Dict[str, bool] | None = None,
 ):
     """One Adam step; `freeze[k]=True` pins a group (reference fix_opacity
-    sets the opacity group's lr to 0, gaussian_curve_model.py:270-278)."""
+    sets the opacity group's lr to 0, gaussian_curve_model.py:270-278).
+
+    Groups absent from `grads` pass through untouched (param, mu, nu):
+    the training step statically excludes groups whose gradient is zero by
+    construction (features_dc — the renderer forces colors to ones, same
+    as the reference's dead SH path; exposure when train_test_exp is off),
+    so their Adam elementwise traffic is skipped entirely.  Bit-identical
+    to updating with a zero gradient (mu/nu stay zero, update is zero)."""
     count = state.count + 1
     c1 = 1.0 - B1**count.astype(jnp.float32)
     c2 = 1.0 - B2**count.astype(jnp.float32)
     new_p, new_mu, new_nu = {}, {}, {}
     for k in params:
+        if k not in grads:
+            new_p[k] = params[k]
+            new_mu[k] = state.mu[k]
+            new_nu[k] = state.nu[k]
+            continue
         g = grads[k]
         mu = B1 * state.mu[k] + (1 - B1) * g
         nu = B2 * state.nu[k] + (1 - B2) * g * g

@@ -109,8 +109,16 @@ def _train_step_impl(
     P = cap * n_gaussians
     if use_exposure and view_idx is None:
         raise ValueError("use_exposure requires the step's view_idx")
+    # statically-dead groups are excluded from grad + Adam entirely (their
+    # gradient is zero by construction: the renderer forces colors to ones
+    # like the reference's dead SH path, and exposure only enters the loss
+    # under use_exposure).  adam_update passes absent groups through —
+    # bit-identical to a zero-gradient update, minus the traffic.
+    dead = ("features_dc",) + (() if use_exposure else ("exposure",))
+    hold = {k: ts.params[k] for k in dead}
 
-    def loss_fn(params, mean2d_offset):
+    def loss_fn(live_params, mean2d_offset):
+        params = {**live_params, **hold}
         state = cs.CurveState(
             **params, is_bezier=ts.is_bezier, alive=ts.alive
         )
@@ -145,9 +153,10 @@ def _train_step_impl(
                       out["overflow"], out["tile_peak"])
 
     offset0 = jnp.zeros((P, 2), jnp.float32)
+    live = {k: v for k, v in ts.params.items() if k not in dead}
     (loss, (aux, visible, radii, overflow, tile_peak)), (gparams, goffset) = (
         jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            ts.params, offset0
+            live, offset0
         )
     )
 

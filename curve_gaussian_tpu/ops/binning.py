@@ -167,13 +167,31 @@ def _rect_fields(pre: Preprocessed, nty: int, ntx: int, max_rect: int) -> _Rect:
     return _Rect(x0t, y0t, y1t, rw_c, rh_c, y0c, rw * rh, log_ratio)
 
 
-def _emit_pairs(pre: Preprocessed, rect: _Rect, T: int, ntx: int, max_rect: int):
-    """(tile id [P,R], candidacy [P,R]) for each rect slot of every Gaussian."""
+def _emit_pairs(
+    pre: Preprocessed,
+    rect: _Rect,
+    T: int,
+    ntx: int,
+    max_rect: int,
+    ids: jnp.ndarray | None = None,
+):
+    """(tile id, candidacy, sort depth, value) [P, R] per rect slot.
+
+    The depth/value columns are emitted INSIDE the same elementwise fusion
+    as the tile ids: left to its own devices XLA hoists the [P,R] -> [P*R]
+    reshapes above the pair math and materializes every per-Gaussian input
+    field at pair volume instead — ~26 standalone broadcast+relayout ops,
+    0.82 ms/step at the bench point (round-4 trace).  Callers barrier the
+    2-D outputs (see _bin_sort) so exactly three arrays relayout to flat.
+    Depth is inf for non-candidates; `ids` defaults to arange(P).
+    """
     mx, my = pre.mean2d[:, 0], pre.mean2d[:, 1]
     fdt = mx.dtype
     valid = pre.valid
     conic = pre.conic
     ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    if ids is None:
+        ids = jnp.arange(mx.shape[0], dtype=jnp.int32)
 
     def pair_fields(r):
         rw_s = jnp.maximum(rect.rw_c, 1)
@@ -214,7 +232,8 @@ def _emit_pairs(pre: Preprocessed, rect: _Rect, T: int, ntx: int, max_rect: int)
         inside = (xl <= 0.0) & (0.0 <= xh) & (yl <= 0.0) & (0.0 <= yh)
         qmin = jnp.where(inside, 0.0, qmin)
         ok = in_rect & (qmin <= rect.log_ratio + 1e-4)
-        return jnp.where(ok, py_t * ntx + px_t, T), ok
+        d = jnp.where(ok, pre.depth, jnp.inf)
+        return jnp.where(ok, py_t * ntx + px_t, T), ok, d, ids
 
     rs = jnp.arange(max_rect, dtype=jnp.int32)
     return jax.vmap(pair_fields, out_axes=1)(rs)  # [P, R] each
@@ -262,7 +281,7 @@ def _bin_sort(
     T = nty * ntx
     P = pre.mean2d.shape[0]
     rect = _rect_fields(pre, nty, ntx, max_rect)
-    tiles1, ok1 = _emit_pairs(pre, rect, T, ntx, tier1_rect)
+    tiles1, _, d1, v1 = _emit_pairs(pre, rect, T, ntx, tier1_rect)
 
     # big-rect tier: compact Gaussians whose clipped rect exceeds tier1_rect
     # into a fixed budget and emit their remaining slots
@@ -287,9 +306,13 @@ def _bin_sort(
         valid=take(pre.valid) & (big_idx < P),
     )
     rect_big = jax.tree.map(take, rect)
-    tiles2, ok2 = _emit_pairs(pre_big, rect_big, T, ntx, max_rect)
+    tiles2, _, d2, v2 = _emit_pairs(
+        pre_big, rect_big, T, ntx, max_rect, ids=big_idx
+    )
     # tier1 already emitted slots [0, tier1_rect) for every Gaussian
-    tiles2, ok2 = tiles2[:, tier1_rect:], ok2[:, tier1_rect:]
+    tiles2, d2, v2 = (
+        tiles2[:, tier1_rect:], d2[:, tier1_rect:], v2[:, tier1_rect:]
+    )
 
     # ONE lexicographic sort by (tile, view depth, original index) — the
     # TPU analogue of the reference's 64-bit [tileID | depth-bits] radix
@@ -297,17 +320,15 @@ def _bin_sort(
     # the oracle's stable-argsort tie-break exactly; a 3-operand lax.sort
     # measures the same as a single-key sort_key_val on v5e (~1.4 ms at
     # 245k), so no bit packing or precomputed depth ranks are needed.
-    p_ids = jnp.arange(P, dtype=jnp.int32)
-    t1 = jnp.where(ok1, tiles1, T).reshape(-1)
-    v1 = jnp.broadcast_to(p_ids[:, None], ok1.shape).reshape(-1)
-    t2 = jnp.where(ok2, tiles2, T).reshape(-1)
-    v2 = jnp.broadcast_to(big_idx[:, None], ok2.shape).reshape(-1)
-    tiles_flat = jnp.concatenate([t1, t2])
-    depth_all = jnp.where(pre.valid, pre.depth, jnp.inf)
-    d1 = jnp.broadcast_to(depth_all[:, None], ok1.shape).reshape(-1)
-    d2 = jnp.broadcast_to(take(depth_all)[:, None], ok2.shape).reshape(-1)
-    depth_flat = jnp.concatenate([d1, d2])
-    vals = jnp.concatenate([v1, v2])
+    # The barriers pin the emission fusions at [P, R]: without them XLA
+    # hoists the flattening reshapes above the pair math and relayouts
+    # every input FIELD at pair volume (~26 ops, 0.82 ms/step vs ~0.18 for
+    # these six; round-4 trace).
+    tiles1, d1, v1 = jax.lax.optimization_barrier((tiles1, d1, v1))
+    tiles2, d2, v2 = jax.lax.optimization_barrier((tiles2, d2, v2))
+    tiles_flat = jnp.concatenate([tiles1.reshape(-1), tiles2.reshape(-1)])
+    depth_flat = jnp.concatenate([d1.reshape(-1), d2.reshape(-1)])
+    vals = jnp.concatenate([v1.reshape(-1), v2.reshape(-1)])
     st, _, sv = jax.lax.sort((tiles_flat, depth_flat, vals), num_keys=3)
     NP = st.shape[0]
 
@@ -333,18 +354,16 @@ def _bin_sort(
     # sv is padded with K sentinels so every window is in bounds; slots
     # past counts[t] land in the next tile's range and are masked to the
     # sentinel P (fields row P is zeros -> alpha 0 in the kernels).
-    sv_ext = jnp.concatenate([sv, jnp.full((K,), P, jnp.int32)])
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
     )
-    win = jax.lax.gather(
-        sv_ext, starts[:T, None], dn, (K,),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
-    gather_idx = jnp.where(slot_valid, win, P)
-
-    # [T, KP] sentinel-padded copy for the RMW backward's SMEM idx blocks
-    # (see Binning docstring); another per-tile window gather, so ~free.
+    # [T, KP] sentinel-padded table for the RMW backward's SMEM idx blocks
+    # (see Binning docstring).  When it exists (K <= KP, the training
+    # config), gather_idx is exactly its first K columns — the window
+    # values agree below counts[t] and both mask to the sentinel P above —
+    # so ONE window gather serves both tables (each gather lowers as a
+    # ~0.22 ms/step serial while-loop under Pallas-chain pinning; round-4
+    # trace, while.11/while.12).
     KP = 1024
     idx_pad = None
     if K <= KP:
@@ -356,6 +375,14 @@ def _bin_sort(
         idx_pad = jnp.where(
             jnp.arange(KP, dtype=jnp.int32)[None, :] < counts[:, None], win_p, P
         )
+        gather_idx = idx_pad[:, :K]
+    else:
+        sv_ext = jnp.concatenate([sv, jnp.full((K,), P, jnp.int32)])
+        win = jax.lax.gather(
+            sv_ext, starts[:T, None], dn, (K,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        gather_idx = jnp.where(slot_valid, win, P)
 
     rect_overflow = jnp.where(
         pre.valid, rect.area - rect.rw_c * rect.rh_c, 0
@@ -388,7 +415,7 @@ def _bin_pairs(pre: Preprocessed, nty: int, ntx: int, K: int, max_rect: int):
     order = jnp.argsort(jnp.where(pre.valid, pre.depth, jnp.inf))
     pre_s = jax.tree.map(lambda a: a[order], pre)
     rect = _rect_fields(pre_s, nty, ntx, max_rect)
-    tiles_pr, ok_pr = _emit_pairs(pre_s, rect, T, ntx, max_rect)
+    tiles_pr, ok_pr, _, _ = _emit_pairs(pre_s, rect, T, ntx, max_rect)
     rect_overflow = jnp.where(
         pre_s.valid, rect.area - rect.rw_c * rect.rh_c, 0
     ).sum()

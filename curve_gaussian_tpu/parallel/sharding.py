@@ -87,8 +87,12 @@ def _one_view_grads(
         tanfovy=tfy,
     )
     P_g = alive.shape[0] * params["mask_raw"].shape[1]
+    # statically-dead groups excluded from grad (see train._train_step_impl)
+    dead = ("features_dc",) + (() if use_exposure else ("exposure",))
+    hold = {k: params[k] for k in dead}
 
-    def loss_fn(params, offset):
+    def loss_fn(live_params, offset):
+        params = {**live_params, **hold}
         state = cs.CurveState(**params, is_bezier=is_bezier, alive=alive)
         gauss = cs.gaussians(
             state, use_mask=use_mask, mask_threshold=opt_cfg.mask_threshold
@@ -121,9 +125,10 @@ def _one_view_grads(
         )
 
     offset0 = jnp.zeros((P_g, 2), jnp.float32)
+    live = {k: v for k, v in params.items() if k not in dead}
     (loss, (total, visible, radii, overflow, tile_peak)), (gp, goff) = (
         jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            params, offset0
+            live, offset0
         )
     )
     return gp, goff, total, visible, radii, overflow, tile_peak
@@ -181,8 +186,12 @@ def _local_batch_step(
             jnp.maximum(pk_acc, pk),
         ), None
 
+    dead = ("features_dc",) + (() if use_exposure else ("exposure",))
     init = (
-        jax.tree.map(jnp.zeros_like, ts.params),
+        jax.tree.map(
+            jnp.zeros_like,
+            {k: v for k, v in ts.params.items() if k not in dead},
+        ),
         jnp.zeros((P_g, 2), jnp.float32),
         jnp.zeros(()),
         jnp.zeros((), jnp.int32),
