@@ -293,6 +293,11 @@ def _bin_sort(
     ].set(jnp.arange(P, dtype=jnp.int32), mode="drop")
     big_idx = slot_tbl[:big_capacity]  # [B] original rows (or sentinel P)
 
+    # per-field big-tier takes: ~6 fused [B]-row gathers, ~0.18 ms/step.
+    # A packed [P+1, 12] table + single row_gather was tried (round 4) and
+    # is ~2x WORSE overall: the column stack materializes through the
+    # S(1)-pinned serial emitter at pair volume (~4 ms) — T(1024) ->
+    # T(8,128) interleaves of twelve [P] columns dwarf the gathers saved.
     def take(a):
         return jnp.concatenate([a, jnp.zeros_like(a[:1])])[big_idx]
 

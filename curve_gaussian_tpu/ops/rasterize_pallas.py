@@ -82,11 +82,15 @@ _BPIPE = 4  # phase-1 sub-group width inside a bwd group (register pressure)
 # training-config backward flavor: moment-scratch (MXU combiner) vs the
 # parking kernel.  Module-level so benchmarks can A/B them in one process.
 USE_MOMENT_BWD = True
-# moment backward formulation: pixel-moment basis (ONE Dp scratch row per
-# instance + basis matmuls; round 4) vs direct central moments (six scratch
-# rows per instance; round 3).  Trace-time constant; probes A/B with fresh
-# jits.
-USE_BASIS_BWD = True
+# moment backward formulation: direct central moments (six scratch rows
+# per instance; round 3) vs the pixel-moment-basis experiment (ONE Dp
+# scratch row + two MXU basis dots; round 4).  MEASURED LOSER on v5e:
+# in-step 9.67 ms vs 7.36 ms at the bench point (probe_r4_bwd) — the six
+# scratch stores pipeline under the serial T-chain, while the narrow
+# (…,8)-lane basis dots (forced to Precision.HIGHEST for gradient
+# accuracy) stall each group.  Kept A/B-able; trace-time constant, probes
+# flip it with fresh jits.
+USE_BASIS_BWD = False
 
 
 def _interpret() -> bool:
@@ -781,15 +785,22 @@ def _make_bwd_moment_rmw_basis_kernel(PR: int, L):
                     cxb = jnp.where(sub8 == ii, mx - tx0, cxb)
                     cyb = jnp.where(sub8 == ii, my - ty0, cyb)
             state = (T_, act, gcpref)
-            # local pixel-coordinate moments via two MXU dots
+            # local pixel-coordinate moments via two MXU dots.  HIGHEST
+            # precision is required: Mosaic's default f32 dot rounds
+            # operands to bf16, and the basis weights (up to 961) and Dp
+            # values lose ~4e-3 relative EACH, amplified ~30x by the
+            # binomial recombination — probed 8.8e-2 relative gradient
+            # error at DEFAULT vs ~1e-6 at HIGHEST (probe_r4_bwd).
             blk = scr_ref[...]  # (64, 128) Dp rows
             R = jax.lax.dot_general(
                 blk, Bmat, (((1,), (0,)), ((), ())),
                 preferred_element_type=fdt,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (64, 8)
             CR = jax.lax.dot_general(
                 Cmat, R, (((1,), (0,)), ((), ())),
                 preferred_element_type=fdt,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (24, 8): [S1; S4; S16] @ R
             U = CR[0:_CHUNK, :]
             V = CR[_CHUNK : 2 * _CHUNK, :]
@@ -853,11 +864,12 @@ def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True):
     Instance ids come from the SMEM idx block (sentinel P rows carry zero
     moments, so their RMW adds zeros).  See blend_train for probe numbers.
 
-    `basis=True` (round 4): the per-instance phase stores ONE scratch row —
-    the adjoint map Dp = g_alpha * G — instead of the six dx/dy-weighted
-    maps.  The six central moments are recovered per group from six
-    TILE-LOCAL pixel-coordinate moments of Dp via the binomial expansion
-    with the instance's local center (cx, cy) = mean2d - tile origin:
+    `basis=True` (round-4 experiment, MEASURED SLOWER — see USE_BASIS_BWD):
+    the per-instance phase stores ONE scratch row — the adjoint map
+    Dp = g_alpha * G — instead of the six dx/dy-weighted maps.  The six
+    central moments are recovered per group from six TILE-LOCAL
+    pixel-coordinate moments of Dp via the binomial expansion with the
+    instance's local center (cx, cy) = mean2d - tile origin:
 
         M0 = S0                M1 = cx S0 - Sx        M2 = cy S0 - Sy
         M3 = cx^2 S0 - 2 cx Sx + Sxx
@@ -870,11 +882,13 @@ def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True):
     lane-basis columns [1, px', ly, px'^2, px' ly, ly^2] (ly = lane//32),
     then CR = C(24,64) @ R with sublane weights [1, 4s, 16s^2] stacked —
     and the binomial combination runs on (8,1) columns.  This deletes 5 of
-    6 per-instance (8,128) scratch stores and both dx/dy product chains
-    (~40% of the round-3 kernel's per-instance VPU+VMEM work).  Numerics:
-    |dx| >= |cx| - 31 by construction (a tile is a candidate only if the
-    support reaches it), so the expansion never cancels catastrophically —
-    f64-parity error stays ~1e-6 relative (tests/test_torch_fullstep_parity).
+    6 per-instance (8,128) scratch stores and both dx/dy product chains.
+    Numerics: |dx| >= |cx| - 31 by construction (a tile is a candidate
+    only if the support reaches it), so the expansion never cancels
+    catastrophically; exact on CPU (tests/test_torch_fullstep_parity runs
+    both flavors' shared math), ~2e-3 relative vs the direct kernel on
+    v5e even at Precision.HIGHEST (the MXU's bf16-pass emulation times
+    the binomial amplification; probe_r4_bwd).
     """
     L, NF = field_layout(False, False, True)
     if basis:

@@ -94,10 +94,7 @@ for basis in (True, False):
         rel = d / (np.max(np.abs(ref)) + 1e-30)
         print(f"basis-vs-direct grad max|d| {d:.3e} (rel {rel:.3e})")
 
-# full train step (scan chunk) with the default flags
-RP.USE_BASIS_BWD = True
-state = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
-ts = jax.device_put(T.init_train_state(state), jax.devices()[0])
+# full train step (scan chunk), both backward flavors
 w2c = jnp.stack([c.world_to_cam for c in cams])
 proj = jnp.stack([c.full_proj for c in cams])
 ctr = jnp.stack([c.cam_center for c in cams])
@@ -106,23 +103,28 @@ gt_all = jnp.stack(gts)
 K = 50
 bg = jnp.zeros(())
 
+for basis in (True, False):
+    RP.USE_BASIS_BWD = basis
+    jax.clear_caches()
+    state = cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
+    ts = jax.device_put(T.init_train_state(state), jax.devices()[0])
 
-def chunk(ts):
-    vi = jnp.arange(K, dtype=jnp.int32) % n_views
-    return T.train_steps_scan(
-        ts, (w2c[vi], proj[vi], ctr[vi]), gt_all[vi], bg, opt_cfg,
-        pipe_cfg, use_mask=False, n_gaussians=12, cam_geom=geom,
-    )
+    def chunk(ts):
+        vi = jnp.arange(K, dtype=jnp.int32) % n_views
+        return T.train_steps_scan(
+            ts, (w2c[vi], proj[vi], ctr[vi]), gt_all[vi], bg, opt_cfg,
+            pipe_cfg, use_mask=False, n_gaussians=12, cam_geom=geom,
+        )
 
-
-t0 = time.time()
-ts, m = chunk(ts)
-print(f"step compile+chunk {time.time()-t0:.1f}s "
-      f"(loss {float(m['total'][-1]):.4f})")
-t0 = time.time()
-for i in range(4):
+    t0 = time.time()
     ts, m = chunk(ts)
-loss = float(m["total"][-1])
-dt = time.time() - t0
-print(f"full step: {dt/200*1e3:.2f} ms -> {200/dt:.1f} it/s, "
-      f"{200/dt*H*W/1e6:.1f} Mpix/s (loss {loss:.4f})")
+    print(f"basis={basis}: step compile+chunk {time.time()-t0:.1f}s "
+          f"(loss {float(m['total'][-1]):.4f})")
+    t0 = time.time()
+    for i in range(4):
+        ts, m = chunk(ts)
+    loss = float(m["total"][-1])
+    dt = time.time() - t0
+    print(f"basis={basis}: full step {dt/200*1e3:.2f} ms -> "
+          f"{200/dt:.1f} it/s, {200/dt*H*W/1e6:.1f} Mpix/s "
+          f"(loss {loss:.4f})")

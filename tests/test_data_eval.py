@@ -208,6 +208,7 @@ def test_inverted_edge_polarity_autodetected(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_inverted_scene_trains(tmp_path):
     """Short end-to-end: a dark-on-white fabricated scene loaded with
     polarity auto-detect still converges (loss decreases)."""

@@ -72,6 +72,7 @@ def test_exposure_grad_localized(scene):
     np.testing.assert_array_equal(exp1[others], exp0[others])
 
 
+@pytest.mark.slow
 def test_exposure_recovery(scene):
     """GT = a * render0 + b is fit by exposure -> (a, b) alone."""
     a, b = 0.8, 0.1

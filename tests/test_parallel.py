@@ -22,6 +22,7 @@ def _problem(n_views, height=16, width=128):
     return ge._tiny_problem(n_views, height, width)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
@@ -65,6 +66,7 @@ def test_parallel_matches_single_device():
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_parallel_scan_matches_single_device_trajectory():
     """A K-step, B-view/step chunk on the 8-device mesh must reproduce the
     single-device same-effective-batch trajectory (loss sequence + params)."""
@@ -100,6 +102,7 @@ def test_parallel_scan_matches_single_device_trajectory():
     np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_scene_views_per_step(tmp_path):
     """Driver-level integration: train_scene on the parallel path (B views
     per optimizer step over the virtual mesh) runs the full schedule."""
@@ -140,6 +143,7 @@ def test_train_scene_views_per_step(tmp_path):
     assert int(res.ts.step) == 8
 
 
+@pytest.mark.slow
 def test_tile_parallel_render_matches_single():
     cams, gts, state = _problem(1, height=64, width=256)
     ts = T.init_train_state(state)

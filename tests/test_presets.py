@@ -61,6 +61,7 @@ def test_presets_compose_with_overrides():
 
 
 @pytest.mark.parametrize("name", sorted(PRESETS))
+@pytest.mark.slow
 def test_preset_trains(name):
     scene = synthetic.make_scene(
         seed=5, n_curves=2, n_lines=1, n_views=2, height=64, width=64,

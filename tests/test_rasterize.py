@@ -92,6 +92,7 @@ class TestForwardParity:
 
 
 class TestGradientParity:
+    @pytest.mark.slow
     def test_grads_match_oracle(self, rng, cam):
         xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
         kc = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
@@ -160,6 +161,7 @@ class TestBinningEdgeCases:
         np.testing.assert_allclose(np.asarray(out["render"]), 0.25, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["final_T"]), 1.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_alive_mask(self, rng, cam):
         xyz, scale, quat, opacity = random_scene(rng, n_curves=20)
         alive = jnp.arange(xyz.shape[0]) < xyz.shape[0] // 2
@@ -194,6 +196,7 @@ class TestInvariances:
             np.asarray(a["render"]), np.asarray(b["render"]), atol=2e-5
         )
 
+    @pytest.mark.slow
     def test_capacity_headroom_invariance(self, rng, cam):
         """More per-tile capacity than needed must not change the image."""
         xyz, scale, quat, opacity = random_scene(rng, n_curves=15)
@@ -252,6 +255,7 @@ class TestTrainBlendParity:
             np.testing.assert_allclose(a / m, b / m, atol=5e-4, err_msg=name)
             assert np.abs(b).max() > 0, f"oracle grad for {name} is all zero"
 
+    @pytest.mark.slow
     def test_train_config_matches_table_flavor(self, rng, cam, monkeypatch, _train_flavor):
         """blend_train must agree bit-for-bit-ish with the payload-table
         custom_vjp it replaces (same kernels, different reduction)."""

@@ -26,6 +26,7 @@ def _tiny():
     return cams, gts, T.init_train_state(state)
 
 
+@pytest.mark.slow
 def test_conn_on_gates_connectivity_term():
     cams, gts, ts = _tiny()
     opt = OptimizationConfig()
@@ -43,6 +44,7 @@ def test_conn_on_gates_connectivity_term():
     assert "mask" not in m_on
 
 
+@pytest.mark.slow
 def test_conn_from_iter_honored_in_loop(tmp_path):
     """Sweeping conn_from_iter changes WHEN curve_conn appears in metrics."""
     scene = synthetic.make_scene(
@@ -120,6 +122,7 @@ def _overflow_opt():
     )
 
 
+@pytest.mark.slow
 def test_overflow_policy_grow(tmp_path):
     scene, seed_pts = _overflow_scene()
     pipe = dataclasses.replace(
@@ -134,6 +137,7 @@ def test_overflow_policy_grow(tmp_path):
     assert res.pipe_cfg.tile_capacity > 8  # grew in response to overflow
 
 
+@pytest.mark.slow
 def test_overflow_policy_raise(tmp_path):
     scene, seed_pts = _overflow_scene()
     pipe = dataclasses.replace(
@@ -175,6 +179,7 @@ def test_ellipsoid_mesh_export(tmp_path, rng):
     assert f"element face {P * len(f)}" in head
 
 
+@pytest.mark.slow
 def test_debug_image_dumps_and_profile(tmp_path):
     """Test-iteration PNG dumps + jax.profiler trace artifacts appear."""
     scene = synthetic.make_scene(

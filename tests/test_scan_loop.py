@@ -4,12 +4,14 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from curve_gaussian_tpu.config import OptimizationConfig, PipelineConfig
 from curve_gaussian_tpu.engine import train as T
 from curve_gaussian_tpu.models import curve_state as cs
 
 
+@pytest.mark.slow
 def test_scan_equals_stepwise(rng):
     import __graft_entry__ as ge
 
@@ -48,6 +50,7 @@ def test_scan_equals_stepwise(rng):
     assert int(ts_b.step) == K
 
 
+@pytest.mark.slow
 def test_scan_n_active_padding(rng):
     """Padded steps (>= n_active) must be exact no-ops on the state."""
     import __graft_entry__ as ge

@@ -13,6 +13,8 @@ allclose vs the reference CUDA pipeline' without a GPU.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

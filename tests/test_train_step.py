@@ -51,6 +51,7 @@ def test_loss_decreases(scene):
     assert int(ts.step) == 60
 
 
+@pytest.mark.slow
 def test_masked_capacity_invariance(scene):
     """Same init at two capacities gives identical first-step loss."""
     pts = scene.curves.mean(axis=1).astype(np.float32)
