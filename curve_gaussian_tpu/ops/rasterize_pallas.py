@@ -78,6 +78,12 @@ _FWD_CHUNK = 64
 _CHUNK = 8
 _PIPE = 8  # phase-1/phase-2 sub-group width inside a fwd group
 _BPIPE = 4  # phase-1 sub-group width inside a bwd group (register pressure)
+# moment-backward group width (slab RMW stays 8 rows): the while_loop +
+# liveness-reduce overhead is ~0.5 us per GROUP (probed round 2), so the
+# round-3 width of 8 cost ~64 ns/instance of pure loop overhead at the
+# bench point's ~62k real instances — wider groups amortize it.  Falls
+# back to 16/8 when K is not a multiple (tail reads must stay in [0, K)).
+_BWD_GROUP = 32
 
 # training-config backward flavor: moment-scratch (MXU combiner) vs the
 # parking kernel.  Module-level so benchmarks can A/B them in one process.
@@ -851,18 +857,24 @@ def _make_bwd_moment_rmw_basis_kernel(PR: int, L):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True):
+def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True,
+                                grp: int = _CHUNK):
     """Training-config backward with IN-KERNEL slot->Gaussian reduction.
 
     Same per-instance math and moment-scratch MXU combiner as
     _make_bwd_moment_kernel, but instead of writing per-slot moment rows
     for an XLA-side scatter (which serializes under Pallas-chain VMEM
-    pinning, ROADMAP.md), each 8-instance group's moments land directly in
-    a persistent [PR, 128] accumulator: gaussian g owns lanes
+    pinning, ROADMAP.md), each `grp`-instance group's moments land directly
+    in a persistent [PR, 128] accumulator: gaussian g owns lanes
     8*(g%16)..+8 of row g//16, and the write is an (8,128) slab RMW at the
-    8-aligned row base (g//128)*8 with the placement done by vector masks.
-    Instance ids come from the SMEM idx block (sentinel P rows carry zero
-    moments, so their RMW adds zeros).  See blend_train for probe numbers.
+    8-aligned row base (g//128)*8 with the placement done by vector masks
+    (the slab is 8 rows regardless of `grp`).  Instance ids come from the
+    SMEM idx block (sentinel P rows carry zero moments, so their RMW adds
+    zeros).  `grp` amortizes the while_loop + liveness-reduce overhead
+    (~0.5 us per GROUP, probed round 2 with an empty-body kernel): at the
+    bench point the kernel runs only ~62k real instances, so grp=8 paid
+    ~64 ns/instance of pure loop overhead — ~2x the instance math.  See
+    blend_train for probe numbers.
 
     `basis=True` (round-4 experiment, MEASURED SLOWER — see USE_BASIS_BWD):
     the per-instance phase stores ONE scratch row — the adjoint map
@@ -914,18 +926,20 @@ def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True):
         def _init():
             acc_ref[...] = jnp.zeros(acc_ref.shape, fdt)
 
-        rows_per = _CHUNK * REG_H
-        gi = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 0)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, rows_per), 1)
-        S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)  # (8, 64)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 128), 1)
-        # flat position of (sublane, lane-group) inside an (8,128) slab:
-        # gaussian g lives at slab (g//128)*8, position g%128 — ONE compare
-        # places it (vs sublane==... & lanegroup==...)
-        slabpos = sub * 16 + lane // 8
+        rows_per = grp * REG_H
+        gi = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 1)
+        S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (grp, 128), 1)
         lane_m8 = lane % 8
-        zrow128 = jnp.zeros((_CHUNK, 128), fdt)
+        zrowg = jnp.zeros((grp, 128), fdt)
+        # (8,128) slab geometry for the RMW (independent of group width):
+        # gaussian g lives at slab (g//128)*8, flat position g%128 — ONE
+        # compare places it (vs sublane==... & lanegroup==...)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        slabpos = sub8 * 16 + lane8 // 8
+        zslab = jnp.zeros((8, 128), fdt)
 
         one = zero + 1.0
 
@@ -949,13 +963,13 @@ def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True):
 
         def group_cond(st):
             g, state = st
-            return (g * _CHUNK < n) & (jnp.max(state[1]) > 0.5)
+            return (g * grp < n) & (jnp.max(state[1]) > 0.5)
 
         def group_body(st):
             g, state = st
             T_, act, gcpref = state
-            for s in range(_CHUNK // _BPIPE):
-                pre = [phase1(g * _CHUNK + s * _BPIPE + i)
+            for s in range(grp // _BPIPE):
+                pre = [phase1(g * grp + s * _BPIPE + i)
                        for i in range(_BPIPE)]
                 for i, (ag, G, dx, dy) in enumerate(pre):
                     aT = ag * T_
@@ -987,26 +1001,26 @@ def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True):
             # MXU combiner: per-instance sublane+lane sums of each moment,
             # replicated across the 16 lane groups so the RMW below only
             # has to mask, not shuffle
-            rows128 = zrow128
+            rowsg = zrowg
             for k in range(6):
-                blk = scr_ref[pl.ds(rows_per * k, rows_per), :]  # (64, 128)
+                blk = scr_ref[pl.ds(rows_per * k, rows_per), :]
                 Ak = jax.lax.dot_general(
                     S, blk, (((1,), (0,)), ((), ())),
                     preferred_element_type=fdt,
-                )  # (8, 128)
-                col = jnp.sum(Ak, axis=1, keepdims=True)  # (8, 1)
-                rows128 = rows128 + jnp.where(lane_m8 == k, col, zrow128)
-            off = g * _CHUNK
-            for i in range(_CHUNK):
+                )  # (grp, 128)
+                col = jnp.sum(Ak, axis=1, keepdims=True)  # (grp, 1)
+                rowsg = rowsg + jnp.where(lane_m8 == k, col, zrowg)
+            off = g * grp
+            for i in range(grp):
                 gid = idx_ref[off + i]
                 base = pl.multiple_of((gid // 128) * 8, 8)
                 val = jnp.where(
                     slabpos == gid % 128,
-                    jnp.broadcast_to(rows128[i : i + 1], (_CHUNK, 128)),
-                    zrow128,
+                    jnp.broadcast_to(rowsg[i : i + 1], (8, 128)),
+                    zslab,
                 )
-                acc_ref[pl.ds(base, _CHUNK), :] = (
-                    acc_ref[pl.ds(base, _CHUNK), :] + val
+                acc_ref[pl.ds(base, 8), :] = (
+                    acc_ref[pl.ds(base, 8), :] + val
                 )
             return (g + 1, state)
 
@@ -1231,6 +1245,12 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
     dt = payload.dtype
     img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
     basis = USE_BASIS_BWD
+    # widest group that divides K (payload/idx reads stay in bounds for the
+    # padded tail group); 32 amortizes the ~0.5 us/group loop overhead 4x
+    # over the round-3 width of 8
+    grp = next(g for g in (_BWD_GROUP, 16, 8) if K % g == 0 or g == 8)
+    if basis:
+        grp = _CHUNK
     n_scr = 1 if basis else 6  # Dp-only scratch vs six weighted maps
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1249,12 +1269,12 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
             pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_scr * _CHUNK * REG_H, REG_W), dt),
+            pltpu.VMEM((n_scr * grp * REG_H, REG_W), dt),
             pltpu.VMEM((PR, 128), dt),
         ],
     )
     (acc,) = pl.pallas_call(
-        _make_bwd_moment_rmw_kernel(PR, basis),
+        _make_bwd_moment_rmw_kernel(PR, basis, grp),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((PR, 128), dt)],
         interpret=_interpret(),

@@ -73,15 +73,18 @@ def measure(tag):
           f"(compile {c:.0f}s, loss {loss:.4f})", flush=True)
 
 
-measure(f"baseline BPIPE={RP._BPIPE} FWD=({RP._FWD_CHUNK},{RP._PIPE})")
+measure(f"baseline GRP={RP._BWD_GROUP} BPIPE={RP._BPIPE} "
+        f"FWD=({RP._FWD_CHUNK},{RP._PIPE})")
+measure("repeat-baseline")  # run-to-run variance check
+RP._BWD_GROUP = 8
+measure("GRP=8 (round-3 width)")
+RP._BWD_GROUP = 64
+measure("GRP=64")
+RP._BWD_GROUP = 32
 RP._BPIPE = 8
-measure("BPIPE=8")
-RP._BPIPE = 2
-measure("BPIPE=2")
+measure("GRP=32 BPIPE=8")
 RP._BPIPE = 4
-RP._FWD_CHUNK, RP._PIPE = 128, 8
+RP._FWD_CHUNK = 128
 measure("FWD=(128,8)")
-RP._FWD_CHUNK, RP._PIPE = 64, 16
-measure("FWD=(64,16)")
-RP._FWD_CHUNK, RP._PIPE = 64, 8
+RP._FWD_CHUNK = 64
 print("done")

@@ -293,3 +293,36 @@ class TestTrainBlendParity:
         m = np.abs(b).max() + 1e-8
         assert m > 1e-8
         np.testing.assert_allclose(a / m, b / m, atol=5e-4)
+
+
+class TestBwdGroupWidth:
+    """The moment-backward group width is a pure scheduling knob: widening
+    it changes only the combiner dot's contraction length (partial-sum
+    grouping), so results agree to reduction ulps — pins the round-4
+    widening (rasterize_pallas._BWD_GROUP)."""
+
+    def test_grp_widths_bit_identical(self, rng, cam, monkeypatch):
+        from curve_gaussian_tpu.ops import rasterize_pallas as RP
+
+        monkeypatch.setenv("CGT_BLEND_FLAVOR", "train")
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
+        kc = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+        kT = jnp.asarray(rng.normal(size=(cam.height, cam.width)), jnp.float32)
+
+        def f(xyz, scale, quat, opacity):
+            out = render(
+                xyz, scale, quat, opacity, cam, bg=0.3, backend="pallas",
+                capacity=256, render_geo=False, compute_invdepth=False,
+            )
+            return (out["render"] * kc).sum() + (out["final_T"] * kT).sum()
+
+        grads = {}
+        for grp in (8, 32):
+            monkeypatch.setattr(RP, "_BWD_GROUP", grp)
+            RP._make_bwd_moment_rmw_kernel.cache_clear()
+            jax.clear_caches()
+            grads[grp] = jax.grad(f, argnums=(0, 3))(xyz, scale, quat, opacity)
+        for a, b, name in zip(grads[8], grads[32], ("xyz", "opacity")):
+            a, b = np.asarray(a), np.asarray(b)
+            m = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / m, b / m, atol=1e-6, err_msg=name)
