@@ -62,14 +62,18 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
         )
         return (untile_image(c, nty, ntx)[:H, :W] * gt0).sum()
 
+    import numpy as np
+
     g_f = jax.jit(jax.grad(raster_loss))
     out = g_f(pre.mean2d)
-    jax.block_until_ready(out)
+    # sync by VALUE pull: block_until_ready returns early on the axon
+    # runtime (CLAUDE.md); one pull after the loop covers all executions
+    float(np.asarray(out)[0, 0])
     t0 = time.time()
     reps = 40
     for _ in range(reps):
         out = g_f(pre.mean2d)
-    jax.block_until_ready(out)
+    float(np.asarray(out)[0, 0])
     r_ms = (time.time() - t0) / reps * 1e3
     print(
         f"raster-only fwd+bwd (bin+payload+blend+grads): {r_ms:.2f} ms "

@@ -63,14 +63,17 @@ def measure(tag):
 
     t0 = time.time()
     ts, m = chunk(ts)
+    float(np.asarray(m["total"])[-1])  # sync: absorbs grant wait + compile
     c = time.time() - t0
+    ts, m = chunk(ts)  # warm chunk (absorbs any residual recompile)
+    float(np.asarray(m["total"])[-1])
     t0 = time.time()
     for i in range(4):
         ts, m = chunk(ts)
     loss = float(m["total"][-1])
     dt = time.time() - t0
     print(f"{tag}: {dt/200*1e3:.2f} ms/step, {200/dt*H*W/1e6:.1f} Mpix/s "
-          f"(compile {c:.0f}s, loss {loss:.4f})", flush=True)
+          f"(compile+grant {c:.0f}s, loss {loss:.4f})", flush=True)
 
 
 measure(f"baseline GRP={RP._BWD_GROUP} BPIPE={RP._BPIPE} "
