@@ -84,6 +84,13 @@ _BPIPE = 4  # phase-1 sub-group width inside a bwd group (register pressure)
 # bench point's ~62k real instances — wider groups amortize it.  Falls
 # back to 16/8 when K is not a multiple (tail reads must stay in [0, K)).
 _BWD_GROUP = 32
+# training blend processes TWO adjacent tiles per program (even ntx only):
+# their independent serial chains interleave in one instruction stream, so
+# the per-group loop overhead is shared and each chain's ~6-op serial
+# dependency hides behind the other tile's vector work.  Costs the pair
+# max(n_a, n_b) group iterations (adjacent tiles correlate).
+PAIRED_BLEND = True
+_PPIPE = 4  # phase-1 sub-group width per tile inside a paired group
 
 # training-config backward flavor: moment-scratch (MXU combiner) vs the
 # parking kernel.  Module-level so benchmarks can A/B them in one process.
@@ -1057,6 +1064,260 @@ def _moments_to_dfields(M, fields):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _make_fwd_train_paired(grp: int = _FWD_CHUNK):
+    """Training-config forward over a PAIR of adjacent tiles per program.
+
+    See PAIRED_BLEND.  Payload block (2, K, NF); every output writes both
+    tiles' (8,128) blocks; the loop runs to max(n_a, n_b) — slots past a
+    tile's count are sentinel rows (zero fields -> alpha 0), so no mask is
+    needed.
+    """
+    L, _ = field_layout(False, False, True)
+
+    def kernel(counts_ref, bg_ref, payload_ref,
+               col_ref, invd_ref, t_ref, am_ref):
+        fdt = payload_ref.dtype
+        ty = pl.program_id(0)
+        tj = pl.program_id(1)
+        ntx = pl.num_programs(1) * 2
+        ta = ty * ntx + 2 * tj
+        n = jnp.maximum(counts_ref[ta], counts_ref[ta + 1])
+        il = jax.lax.broadcasted_iota(jnp.int32, (REG_H, REG_W), 1)
+        is_ = jax.lax.broadcasted_iota(jnp.int32, (REG_H, REG_W), 0)
+        p = is_ * REG_W + il
+        pxa = ((2 * tj) * TILE_W + p % TILE_W).astype(fdt)
+        pxb = pxa + float(TILE_W)
+        py = (ty * TILE_H + p // TILE_W).astype(fdt)
+        zero = jnp.zeros((REG_H, REG_W), fdt)
+        one = zero + 1.0
+
+        def phase1(q, j, px):
+            gf = lambda f: payload_ref[q, j, f]
+            dx = gf(L["mx"]) - px
+            dy = gf(L["my"]) - py
+            ca = gf(L["ca"])
+            cb = gf(L["cb"])
+            cc = gf(L["cc"])
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, gf(L["opa"]) * _fast_exp(power))
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
+            return jnp.where(cand, alpha, zero)
+
+        def group_cond(st):
+            g, (Ta, acta, accA, Tb, actb, accB) = st
+            return (g * grp < n) & (
+                (jnp.max(acta) > 0.5) | (jnp.max(actb) > 0.5)
+            )
+
+        def group_body(st):
+            g, (Ta, acta, accA, Tb, actb, accB) = st
+            for s in range(grp // _PPIPE):
+                base = g * grp + s * _PPIPE
+                pa = [phase1(0, base + i, pxa) for i in range(_PPIPE)]
+                pb = [phase1(1, base + i, pxb) for i in range(_PPIPE)]
+                wsA, wsB = [], []
+                for agA, agB in zip(pa, pb):
+                    aT = agA * Ta
+                    rem = Ta - aT
+                    liveA = jnp.where(rem >= T_EPS, one, zero)
+                    wA = aT * (acta * liveA)
+                    acta = acta * jnp.where(agA > 0.0, liveA, one)
+                    Ta = Ta - wA
+                    wsA.append(wA)
+                    bT = agB * Tb
+                    remb = Tb - bT
+                    liveB = jnp.where(remb >= T_EPS, one, zero)
+                    wB = bT * (actb * liveB)
+                    actb = actb * jnp.where(agB > 0.0, liveB, one)
+                    Tb = Tb - wB
+                    wsB.append(wB)
+                accA = accA + sum(wsA)
+                accB = accB + sum(wsB)
+            return (g + 1, (Ta, acta, accA, Tb, actb, accB))
+
+        init = (one, one, zero, one, one, zero)
+        _, (Ta, _, accA, Tb, _, accB) = jax.lax.while_loop(
+            group_cond, group_body, (jnp.int32(0), init)
+        )
+        col_ref[0:REG_H, :] = accA + Ta * bg_ref[0]
+        col_ref[REG_H : 2 * REG_H, :] = accB + Tb * bg_ref[0]
+        t_ref[0:REG_H, :] = Ta
+        t_ref[REG_H : 2 * REG_H, :] = Tb
+        invd_ref[...] = jnp.zeros(invd_ref.shape, fdt)
+        am_ref[...] = jnp.zeros(am_ref.shape, fdt)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bwd_moment_rmw_paired(PR: int, grp: int):
+    """Paired-tile flavor of the direct moment-RMW backward (PAIRED_BLEND).
+
+    Identical per-instance math; two tiles' chains interleave per group,
+    each tile keeps its own scratch half / combiner / slab RMWs into the
+    SHARED per-program accumulator.
+    """
+    L, NF = field_layout(False, False, True)
+
+    def kernel(counts_ref, bg_ref, idx_ref, payload_ref,
+               outc_ref, outt_ref, gc_ref, gt_ref, acc_out_ref,
+               scr_ref, acc_ref):
+        fdt = payload_ref.dtype
+        ty = pl.program_id(0)
+        tj = pl.program_id(1)
+        ntx = pl.num_programs(1) * 2
+        t = ty * pl.num_programs(1) + tj
+        ta = ty * ntx + 2 * tj
+        n = jnp.maximum(counts_ref[ta], counts_ref[ta + 1])
+        il = jax.lax.broadcasted_iota(jnp.int32, (REG_H, REG_W), 1)
+        is_ = jax.lax.broadcasted_iota(jnp.int32, (REG_H, REG_W), 0)
+        p = is_ * REG_W + il
+        pxa = ((2 * tj) * TILE_W + p % TILE_W).astype(fdt)
+        pxb = pxa + float(TILE_W)
+        py = (ty * TILE_H + p // TILE_W).astype(fdt)
+        zero = jnp.zeros((REG_H, REG_W), fdt)
+        one = zero + 1.0
+
+        # per-tile image registers (blocks carry both tiles stacked)
+        outtA = outt_ref[0:REG_H, :]
+        outtB = outt_ref[REG_H : 2 * REG_H, :]
+        gtA = gt_ref[0:REG_H, :]
+        gtB = gt_ref[REG_H : 2 * REG_H, :]
+        gcA = gc_ref[0:REG_H, :]
+        gcB = gc_ref[REG_H : 2 * REG_H, :]
+        outcA = outc_ref[0:REG_H, :]
+        outcB = outc_ref[REG_H : 2 * REG_H, :]
+        base_invA = -gtA * outtA - gcA * outcA
+        base_invB = -gtB * outtB - gcB * outcB
+
+        @pl.when(t == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros(acc_ref.shape, fdt)
+
+        rows_per = grp * REG_H
+        half = 6 * rows_per  # scratch rows per tile
+        gi = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 1)
+        S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (grp, 128), 1)
+        lane_m8 = lane % 8
+        zrowg = jnp.zeros((grp, 128), fdt)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        slabpos = sub8 * 16 + lane8 // 8
+        zslab = jnp.zeros((8, 128), fdt)
+
+        def phase1(q, j, px):
+            gf = lambda f: payload_ref[q, j, f]
+            ca = gf(L["ca"])
+            cb = gf(L["cb"])
+            cc = gf(L["cc"])
+            opa = gf(L["opa"])
+            dx = gf(L["mx"]) - px
+            dy = gf(L["my"]) - py
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            G = _fast_exp(power)
+            alpha = jnp.minimum(ALPHA_MAX, opa * G)
+            cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
+            ag = jnp.where(cand, alpha, zero)
+            return ag, G, dx, dy
+
+        def group_cond(st):
+            g, (Ta, actA, prA, Tb, actB, prB) = st
+            return (g * grp < n) & (
+                (jnp.max(actA) > 0.5) | (jnp.max(actB) > 0.5)
+            )
+
+        def group_body(st):
+            g, (Ta, actA, prA, Tb, actB, prB) = st
+            for s in range(grp // _PPIPE):
+                base = g * grp + s * _PPIPE
+                pa = [phase1(0, base + i, pxa) for i in range(_PPIPE)]
+                pb = [phase1(1, base + i, pxb) for i in range(_PPIPE)]
+                for i in range(_PPIPE):
+                    ii = s * _PPIPE + i
+                    agA, GA, dxA, dyA = pa[i]
+                    aT = agA * Ta
+                    rem = Ta - aT
+                    liveA = jnp.where(rem >= T_EPS, one, zero)
+                    wA = aT * (actA * liveA)
+                    actA = actA * jnp.where(agA > 0.0, liveA, one)
+                    TiA = Ta
+                    Ta = Ta - wA
+                    prA = prA + gcA * wA
+                    inv1a = 1.0 / (1.0 - agA)
+                    gal = gcA * TiA + inv1a * (base_invA + prA)
+                    gal = gal * jnp.where(wA > 0.0, one, zero)
+                    DpA = gal * GA
+                    e1 = DpA * dxA
+                    e2 = DpA * dyA
+                    for k, v in enumerate(
+                        (DpA, e1, e2, e1 * dxA, e1 * dyA, e2 * dyA)
+                    ):
+                        scr_ref[
+                            pl.ds(rows_per * k + REG_H * ii, REG_H), :
+                        ] = v
+                    agB, GB, dxB, dyB = pb[i]
+                    bT = agB * Tb
+                    remb = Tb - bT
+                    liveB = jnp.where(remb >= T_EPS, one, zero)
+                    wB = bT * (actB * liveB)
+                    actB = actB * jnp.where(agB > 0.0, liveB, one)
+                    TiB = Tb
+                    Tb = Tb - wB
+                    prB = prB + gcB * wB
+                    inv1b = 1.0 / (1.0 - agB)
+                    galb = gcB * TiB + inv1b * (base_invB + prB)
+                    galb = galb * jnp.where(wB > 0.0, one, zero)
+                    DpB = galb * GB
+                    f1 = DpB * dxB
+                    f2 = DpB * dyB
+                    for k, v in enumerate(
+                        (DpB, f1, f2, f1 * dxB, f1 * dyB, f2 * dyB)
+                    ):
+                        scr_ref[
+                            pl.ds(half + rows_per * k + REG_H * ii, REG_H), :
+                        ] = v
+            state = (Ta, actA, prA, Tb, actB, prB)
+            off = g * grp
+            for q in range(2):
+                rowsg = zrowg
+                for k in range(6):
+                    blk = scr_ref[
+                        pl.ds(q * half + rows_per * k, rows_per), :
+                    ]
+                    Ak = jax.lax.dot_general(
+                        S, blk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=fdt,
+                    )
+                    col = jnp.sum(Ak, axis=1, keepdims=True)
+                    rowsg = rowsg + jnp.where(lane_m8 == k, col, zrowg)
+                for i in range(grp):
+                    gid = idx_ref[q * _KP + off + i]
+                    bs = pl.multiple_of((gid // 128) * 8, 8)
+                    val = jnp.where(
+                        slabpos == gid % 128,
+                        jnp.broadcast_to(rowsg[i : i + 1], (8, 128)),
+                        zslab,
+                    )
+                    acc_ref[pl.ds(bs, 8), :] = (
+                        acc_ref[pl.ds(bs, 8), :] + val
+                    )
+            return (g + 1, state)
+
+        init = (one, one, zero, one, one, zero)
+        jax.lax.while_loop(group_cond, group_body, (jnp.int32(0), init))
+
+        last = pl.num_programs(0) * pl.num_programs(1) - 1
+
+        @pl.when(t == last)
+        def _emit():
+            acc_out_ref[...] = acc_ref[...]
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
@@ -1208,28 +1469,53 @@ def _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
     dt = fields.dtype
     fields_b, idx_b = jax.lax.optimization_barrier((fields, gidx))
     payload = jax.lax.optimization_barrier(row_gather(fields_b, idx_b))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nty, ntx),
-        in_specs=[
-            pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
-            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
-            pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
-            pl.BlockSpec((4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0)),
-        ],
-    )
+    out_shape = [
+        jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+        jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+        jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+        jax.ShapeDtypeStruct((4, nty * ntx * REG_H, REG_W), dt),
+    ]
+    if PAIRED_BLEND and ntx % 2 == 0:
+        ntp = ntx // 2
+        img2 = lambda: pl.BlockSpec(
+            (2 * REG_H, REG_W), lambda i, j, c, b: (i * ntp + j, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntp),
+            in_specs=[
+                pl.BlockSpec(
+                    (2, K, NF), lambda i, j, c, b: (i * ntp + j, 0, 0)
+                ),
+            ],
+            out_specs=[
+                img2(), img2(), img2(),
+                pl.BlockSpec(
+                    (4, 2 * REG_H, REG_W),
+                    lambda i, j, c, b: (0, i * ntp + j, 0),
+                ),
+            ],
+        )
+        kern = _make_fwd_train_paired()
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+                pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+                pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0)),
+                pl.BlockSpec((4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0)),
+            ],
+        )
+        kern = _make_fwd_kernel(False, False, True)
     col, invd_img, finT, am = pl.pallas_call(
-        _make_fwd_kernel(False, False, True),
+        kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
-            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
-            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
-            jax.ShapeDtypeStruct((4, nty * ntx * REG_H, REG_W), dt),
-        ],
+        out_shape=out_shape,
         interpret=_interpret(),
     )(counts, bg, payload)
     out = (col, invd_img, finT, am)
@@ -1252,29 +1538,58 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
     if basis:
         grp = _CHUNK
     n_scr = 1 if basis else 6  # Dp-only scratch vs six weighted maps
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nty, ntx),
-        in_specs=[
-            pl.BlockSpec(
-                (_KP,), lambda i, j, c, b: (i * ntx + j,),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
-            img(), img(), img(), img(),
-        ],
-        out_specs=[
-            # the accumulator block is revisited by every grid step and
-            # written back once at the last tile
-            pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_scr * grp * REG_H, REG_W), dt),
-            pltpu.VMEM((PR, 128), dt),
-        ],
-    )
+    if PAIRED_BLEND and not basis and ntx % 2 == 0:
+        ntp = ntx // 2
+        img2 = lambda: pl.BlockSpec(
+            (2 * REG_H, REG_W), lambda i, j, c, b: (i * ntp + j, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntp),
+            in_specs=[
+                pl.BlockSpec(
+                    (2 * _KP,), lambda i, j, c, b: (i * ntp + j,),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (2, K, NF), lambda i, j, c, b: (i * ntp + j, 0, 0)
+                ),
+                img2(), img2(), img2(), img2(),
+            ],
+            out_specs=[
+                pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2 * 6 * grp * REG_H, REG_W), dt),
+                pltpu.VMEM((PR, 128), dt),
+            ],
+        )
+        kern = _make_bwd_moment_rmw_paired(PR, grp)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(
+                    (_KP,), lambda i, j, c, b: (i * ntx + j,),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),
+                img(), img(), img(), img(),
+            ],
+            out_specs=[
+                # the accumulator block is revisited by every grid step and
+                # written back once at the last tile
+                pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_scr * grp * REG_H, REG_W), dt),
+                pltpu.VMEM((PR, 128), dt),
+            ],
+        )
+        kern = _make_bwd_moment_rmw_kernel(PR, basis, grp)
     (acc,) = pl.pallas_call(
-        _make_bwd_moment_rmw_kernel(PR, basis, grp),
+        kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((PR, 128), dt)],
         interpret=_interpret(),

@@ -47,11 +47,13 @@ fns = {}
 
 
 def get_fn(cfg):
-    """One jit instance per config (grp, fwd_chunk, pipe, bpipe)."""
+    """One jit instance per config (paired, grp, ppipe)."""
     if cfg in fns:
         return fns[cfg]
-    RP._BWD_GROUP, RP._FWD_CHUNK, RP._PIPE, RP._BPIPE = cfg
+    RP.PAIRED_BLEND, RP._BWD_GROUP, RP._PPIPE = cfg
     RP._make_bwd_moment_rmw_kernel.cache_clear()
+    RP._make_bwd_moment_rmw_paired.cache_clear()
+    RP._make_fwd_train_paired.cache_clear()
     RP._make_fwd_kernel.cache_clear()
     import functools
 
@@ -76,16 +78,16 @@ vi = jnp.arange(K, dtype=jnp.int32) % n_views
 cam_arrays = (w2c[vi], proj[vi], ctr[vi])
 gts_c = gt_all[vi]
 
-BASE = (32, 64, 8, 4)  # (grp, fwd_chunk, pipe, bpipe)
+BASE = (False, 32, 4)  # (paired, bwd_grp, ppipe)
 CONFIGS = (
     BASE,
-    (32, 128, 8, 4),   # wider fwd group
+    (True, 32, 4),
     BASE,
-    (32, 128, 16, 4),  # wider fwd group + pipe
+    (True, 32, 4),
+    (True, 32, 8),
+    (True, 16, 4),
     BASE,
-    (32, 64, 8, 8),    # wider bwd pipe
-    (32, 64, 8, 2),    # narrower bwd pipe
-    BASE,
+    (True, 32, 4),
 )
 
 for visit, cfg in enumerate(CONFIGS):
@@ -102,7 +104,7 @@ for visit, cfg in enumerate(CONFIGS):
         ts, m = chunk(ts, cam_arrays, gts_c)
     loss = float(np.asarray(m["total"])[-1])
     dt = time.time() - t0
-    print(f"visit {visit} GRP/FWD/PIPE/BPIPE={cfg}: {dt/200*1e3:.2f} ms/step "
+    print(f"visit {visit} paired/grp/ppipe={cfg}: {dt/200*1e3:.2f} ms/step "
           f"({200/dt*H*W/1e6:.1f} Mpix/s; first+warm {warm:.0f}s, "
           f"loss {loss:.4f})", flush=True)
 print("done")

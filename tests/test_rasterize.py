@@ -326,3 +326,79 @@ class TestBwdGroupWidth:
             a, b = np.asarray(a), np.asarray(b)
             m = np.abs(b).max() + 1e-12
             np.testing.assert_allclose(a / m, b / m, atol=1e-6, err_msg=name)
+
+
+class TestPairedBlend:
+    """PAIRED_BLEND (two adjacent tiles per program, round 4) must agree
+    with the unpaired kernels on forward AND gradients; even-ntx cameras
+    only (odd ntx falls back to the unpaired path, also covered here)."""
+
+    def _f(self, cam, kc, kT):
+        def f(xyz, scale, quat, opacity):
+            out = render(
+                xyz, scale, quat, opacity, cam, bg=0.3, backend="pallas",
+                capacity=256, render_geo=False, compute_invdepth=False,
+            )
+            return (out["render"] * kc).sum() + (out["final_T"] * kT).sum()
+
+        return f
+
+    @pytest.mark.parametrize("width,height", [(256, 64), (224, 48)])
+    def test_paired_matches_unpaired(self, rng, monkeypatch, width, height):
+        from curve_gaussian_tpu.ops import rasterize_pallas as RP
+
+        monkeypatch.setenv("CGT_BLEND_FLAVOR", "train")
+        cam = look_at_camera(
+            eye=[0.0, 0.3, -2.0], target=[0.0, 0.0, 0.0],
+            height=height, width=width,
+        )
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
+        kc = jnp.asarray(rng.normal(size=(height, width)), jnp.float32)
+        kT = jnp.asarray(rng.normal(size=(height, width)), jnp.float32)
+        f = self._f(cam, kc, kT)
+        vals, grads = {}, {}
+        for paired in (True, False):
+            monkeypatch.setattr(RP, "PAIRED_BLEND", paired)
+            jax.clear_caches()
+            vals[paired] = float(f(xyz, scale, quat, opacity))
+            grads[paired] = jax.grad(f, argnums=(0, 3))(
+                xyz, scale, quat, opacity
+            )
+        assert vals[True] == pytest.approx(vals[False], rel=1e-6)
+        for a, b, name in zip(grads[True], grads[False], ("xyz", "opacity")):
+            a, b = np.asarray(a), np.asarray(b)
+            m = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / m, b / m, atol=1e-6, err_msg=name)
+            assert np.abs(b).max() > 0, name
+
+    def test_paired_vs_oracle(self, rng, monkeypatch):
+        from curve_gaussian_tpu.ops import rasterize_pallas as RP
+
+        monkeypatch.setenv("CGT_BLEND_FLAVOR", "train")
+        monkeypatch.setattr(RP, "PAIRED_BLEND", True)
+        cam = look_at_camera(
+            eye=[0.0, 0.3, -2.0], target=[0.0, 0.0, 0.0],
+            height=64, width=256,
+        )
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
+        kc = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+        kT = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+        f = self._f(cam, kc, kT)
+
+        def f_ref(xyz, scale, quat, opacity):
+            out = render(
+                xyz, scale, quat, opacity, cam, bg=0.3,
+                backend="reference", capacity=256,
+                render_geo=False, compute_invdepth=False,
+            )
+            return (out["render"] * kc).sum() + (out["final_T"] * kT).sum()
+
+        assert float(f(xyz, scale, quat, opacity)) == pytest.approx(
+            float(f_ref(xyz, scale, quat, opacity)), rel=1e-4
+        )
+        ga = jax.grad(f, argnums=(0, 3))(xyz, scale, quat, opacity)
+        gb = jax.grad(f_ref, argnums=(0, 3))(xyz, scale, quat, opacity)
+        for a, b, name in zip(ga, gb, ("xyz", "opacity")):
+            a, b = np.asarray(a), np.asarray(b)
+            m = np.abs(b).max() + 1e-8
+            np.testing.assert_allclose(a / m, b / m, atol=5e-4, err_msg=name)
