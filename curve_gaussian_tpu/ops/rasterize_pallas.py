@@ -91,6 +91,14 @@ _BWD_GROUP = 32
 # max(n_a, n_b) group iterations (adjacent tiles correlate).
 PAIRED_BLEND = True
 _PPIPE = 4  # phase-1 sub-group width per tile inside a paired group
+# training blend flavor: indirect (no [T,K,NF] payload table; fields ride
+# ONE constant-index-map VMEM block, per-tile SMEM index lists resolve
+# instances in-kernel).  Round-4 probe_r4_fwdcost found the payload path's
+# true cost is DMA, not compute: the (·,K,NF=8) blocks transfer 8-lane
+# rows at ~2.5 ns/row (VMEM tile padding), ~2 us per tile per kernel, plus
+# the 0.4 ms/step XLA payload gather.  The indirect flavor re-tested a
+# round-2 loser under this round's cost model.  Paired even-ntx only.
+TRAIN_INDIRECT = True
 
 # training-config backward flavor: moment-scratch (MXU combiner) vs the
 # parking kernel.  Module-level so benchmarks can A/B them in one process.
@@ -115,6 +123,21 @@ _LOG2E = 1.4426950408889634
 _EXP_C = (9.9999976963e-01, 6.9315677670e-01, 2.4013169187e-01,
           5.5876556869e-02, 8.9405825293e-03, 1.8943794234e-03)
 
+# Schraudolph one-mul exp (A/B flag): exp(x) ~= bitcast(i32(A*x) + B) with
+# A = 2^23/ln 2 and B the bias constant minimizing max relative error
+# (~±3%).  4 VPU ops vs ~14 for the poly5 bit-trick — fast_exp is ~12 of
+# ~33 phase-1 ops in BOTH blend kernels, so this trades ~3% alpha error
+# (the fwd/bwd kernels stay mutually consistent: gradients are of the
+# approximated kernel shape) for a sizeable ALU cut.  Deeply-negative
+# powers: the f32->i32 convert saturates, the +B leaves a negative int,
+# the bitcast yields a negative float, and the alpha >= ALPHA_EPS cut
+# filters it — no wraparound path to a fake opaque pixel (the failure
+# mode the poly5 clamp guards).  Default OFF until the A/B shows a win
+# and e2e quality is re-verified (probe_r4_ab).
+FAST_EXP_CHEAP = False
+_SCHRAUD_A = 12102203.0  # 2^23 / ln 2
+_SCHRAUD_B = 1064866805  # 127*2^23 - 486411 (minimax bias)
+
 
 def _fast_exp(x):
     """exp(x) as 2^n * poly(frac) — Mosaic lowers jnp.exp ~17 ns/call on an
@@ -130,6 +153,18 @@ def _fast_exp(x):
     per-op interpretation and the tests' tolerances cover the 1e-6 gap."""
     if _interpret():
         return jnp.exp(x)
+    if FAST_EXP_CHEAP:
+        # Two clamps make EVERY reachable bit pattern a finite >= 0 float:
+        # the f32 clip keeps the i32 convert in-range (out-of-range convert
+        # is implementation-defined), and the i32 max(., 0) kills the
+        # zi in [-2^23, -1] band whose patterns are NaN/-inf — the forward
+        # cand filter hides those, but the backward's Dp = 0 * G would
+        # turn them into NaN moments and poison the whole accumulator
+        # (observed: first step's grads all-NaN).  Upper bound: zi <=
+        # B + 2^30 = 2138608629 < 0x7F800000, so no +inf band either.
+        z = jnp.clip(x * _SCHRAUD_A, -1.073741824e9, 1.073741824e9)
+        zi = jnp.maximum(z.astype(jnp.int32) + _SCHRAUD_B, 0)
+        return jax.lax.bitcast_convert_type(zi, jnp.float32)
     return fast_exp_bits(x)
 
 
@@ -1065,19 +1100,34 @@ def _moments_to_dfields(M, fields):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fwd_train_paired(grp: int = _FWD_CHUNK):
+def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False):
     """Training-config forward over a PAIR of adjacent tiles per program.
 
     See PAIRED_BLEND.  Payload block (2, K, NF); every output writes both
     tiles' (8,128) blocks; the loop runs to max(n_a, n_b) — slots past a
     tile's count are sentinel rows (zero fields -> alpha 0), so no mask is
-    needed.
+    needed.  Outputs only col+finT: invd/allmap are identically zero in
+    the training config, and each dropped output block is 8 (invd) + 32
+    (allmap) KB of pure-zero DMA per program — block transfers of 8-lane
+    rows move at ~2.5 ns/ROW (round-4 probe_r4_fwdcost: VMEM tile padding
+    turns them into row-strided scatters), so zero traffic is not free.
+
+    `indirect=True` (TRAIN_INDIRECT): no payload table at all — the whole
+    [P1, NF] fields array rides one constant-index-map VMEM block and the
+    per-tile index lists stream through SMEM; each instance pays one extra
+    SMEM read (idx -> gid) but the step drops the XLA payload gather
+    (~0.4 ms) AND the per-program payload block DMA (2x896 8-lane rows at
+    ~2.5 ns/row ~= 4.5 us/program), which round-4 tracing showed dominate
+    the kernel's cost at the bench point.
     """
     L, _ = field_layout(False, False, True)
 
-    def kernel(counts_ref, bg_ref, payload_ref,
-               col_ref, invd_ref, t_ref, am_ref):
-        fdt = payload_ref.dtype
+    def kernel(counts_ref, bg_ref, *refs):
+        if indirect:
+            idx_ref, fields_ref, col_ref, t_ref = refs
+        else:
+            payload_ref, col_ref, t_ref = refs
+        fdt = fields_ref.dtype if indirect else payload_ref.dtype
         ty = pl.program_id(0)
         tj = pl.program_id(1)
         ntx = pl.num_programs(1) * 2
@@ -1093,7 +1143,11 @@ def _make_fwd_train_paired(grp: int = _FWD_CHUNK):
         one = zero + 1.0
 
         def phase1(q, j, px):
-            gf = lambda f: payload_ref[q, j, f]
+            if indirect:
+                gid = idx_ref[q * _KP + j]
+                gf = lambda f: fields_ref[gid, f]
+            else:
+                gf = lambda f: payload_ref[q, j, f]
             dx = gf(L["mx"]) - px
             dy = gf(L["my"]) - py
             ca = gf(L["ca"])
@@ -1144,26 +1198,34 @@ def _make_fwd_train_paired(grp: int = _FWD_CHUNK):
         col_ref[REG_H : 2 * REG_H, :] = accB + Tb * bg_ref[0]
         t_ref[0:REG_H, :] = Ta
         t_ref[REG_H : 2 * REG_H, :] = Tb
-        invd_ref[...] = jnp.zeros(invd_ref.shape, fdt)
-        am_ref[...] = jnp.zeros(am_ref.shape, fdt)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bwd_moment_rmw_paired(PR: int, grp: int):
+def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False):
     """Paired-tile flavor of the direct moment-RMW backward (PAIRED_BLEND).
 
     Identical per-instance math; two tiles' chains interleave per group,
     each tile keeps its own scratch half / combiner / slab RMWs into the
     SHARED per-program accumulator.
+
+    DMA diet (round 4): takes gc and the PRECOMPUTED base_inv =
+    -gt*finT - gc*outc image (an elementwise op that fuses into the
+    cotangent producers outside) instead of the four outc/outt/gc/gt
+    images — two fewer 8-KB image blocks per program, and block DMA of
+    image tiles is the grid-step cost (probe_r4_fwdcost).
+
+    `indirect=True`: fields load via the SMEM gid (already read for the
+    slab RMW) from one constant-index-map [P1, NF] VMEM block — no
+    [2, K, NF] payload block per program (see _make_fwd_train_paired).
     """
     L, NF = field_layout(False, False, True)
 
-    def kernel(counts_ref, bg_ref, idx_ref, payload_ref,
-               outc_ref, outt_ref, gc_ref, gt_ref, acc_out_ref,
-               scr_ref, acc_ref):
-        fdt = payload_ref.dtype
+    def kernel(counts_ref, bg_ref, idx_ref, fp_ref,
+               gc_ref, binv_ref, acc_out_ref, scr_ref, acc_ref):
+        # fp_ref: [2, K, NF] payload block, or [P1, NF] fields (indirect)
+        fdt = fp_ref.dtype
         ty = pl.program_id(0)
         tj = pl.program_id(1)
         ntx = pl.num_programs(1) * 2
@@ -1180,16 +1242,10 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int):
         one = zero + 1.0
 
         # per-tile image registers (blocks carry both tiles stacked)
-        outtA = outt_ref[0:REG_H, :]
-        outtB = outt_ref[REG_H : 2 * REG_H, :]
-        gtA = gt_ref[0:REG_H, :]
-        gtB = gt_ref[REG_H : 2 * REG_H, :]
         gcA = gc_ref[0:REG_H, :]
         gcB = gc_ref[REG_H : 2 * REG_H, :]
-        outcA = outc_ref[0:REG_H, :]
-        outcB = outc_ref[REG_H : 2 * REG_H, :]
-        base_invA = -gtA * outtA - gcA * outcA
-        base_invB = -gtB * outtB - gcB * outcB
+        base_invA = binv_ref[0:REG_H, :]
+        base_invB = binv_ref[REG_H : 2 * REG_H, :]
 
         @pl.when(t == 0)
         def _init():
@@ -1209,7 +1265,11 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int):
         zslab = jnp.zeros((8, 128), fdt)
 
         def phase1(q, j, px):
-            gf = lambda f: payload_ref[q, j, f]
+            if indirect:
+                gid = idx_ref[q * _KP + j]
+                gf = lambda f: fp_ref[gid, f]
+            else:
+                gf = lambda f: fp_ref[q, j, f]
             ca = gf(L["ca"])
             cb = gf(L["cb"])
             cc = gf(L["cc"])
@@ -1466,38 +1526,61 @@ def blend_train(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
 def _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
     K = gidx.shape[1]
     NF = fields.shape[1]
+    P1 = fields.shape[0]
     dt = fields.dtype
-    fields_b, idx_b = jax.lax.optimization_barrier((fields, gidx))
-    payload = jax.lax.optimization_barrier(row_gather(fields_b, idx_b))
-    out_shape = [
-        jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
-        jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
-        jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
-        jax.ShapeDtypeStruct((4, nty * ntx * REG_H, REG_W), dt),
-    ]
-    if PAIRED_BLEND and ntx % 2 == 0:
+    paired = PAIRED_BLEND and ntx % 2 == 0
+    indirect = TRAIN_INDIRECT and paired and idx_pad is not None
+    if paired:
+        # diet outputs: invd/allmap are identically zero in the training
+        # config — dropping their blocks removes 40 KB of zero DMA per
+        # program (8-lane-row block transfers cost ~2.5 ns/row, round 4)
         ntp = ntx // 2
         img2 = lambda: pl.BlockSpec(
             (2 * REG_H, REG_W), lambda i, j, c, b: (i * ntp + j, 0)
         )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nty, ntp),
-            in_specs=[
+        out_shape = [
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+            jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+        ]
+        if indirect:
+            payload = None
+            in_specs = [
+                pl.BlockSpec(
+                    (2 * _KP,), lambda i, j, c, b: (i * ntp + j,),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((P1, NF), lambda i, j, c, b: (0, 0)),
+            ]
+            operands = (counts, bg, idx_pad.reshape(-1), fields)
+        else:
+            fields_b, idx_b = jax.lax.optimization_barrier((fields, gidx))
+            payload = jax.lax.optimization_barrier(
+                row_gather(fields_b, idx_b)
+            )
+            in_specs = [
                 pl.BlockSpec(
                     (2, K, NF), lambda i, j, c, b: (i * ntp + j, 0, 0)
                 ),
-            ],
-            out_specs=[
-                img2(), img2(), img2(),
-                pl.BlockSpec(
-                    (4, 2 * REG_H, REG_W),
-                    lambda i, j, c, b: (0, i * ntp + j, 0),
-                ),
-            ],
+            ]
+            operands = (counts, bg, payload)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nty, ntp),
+            in_specs=in_specs,
+            out_specs=[img2(), img2()],
         )
-        kern = _make_fwd_train_paired()
+        col, finT = pl.pallas_call(
+            _make_fwd_train_paired(indirect=indirect),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=_interpret(),
+        )(*operands)
+        zimg = jnp.zeros((nty * ntx * REG_H, REG_W), dt)
+        invd_img = zimg
+        am = jnp.zeros((4, nty * ntx * REG_H, REG_W), dt)
     else:
+        fields_b, idx_b = jax.lax.optimization_barrier((fields, gidx))
+        payload = jax.lax.optimization_barrier(row_gather(fields_b, idx_b))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nty, ntx),
@@ -1511,13 +1594,17 @@ def _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
                 pl.BlockSpec((4, REG_H, REG_W), lambda i, j, c, b: (0, i * ntx + j, 0)),
             ],
         )
-        kern = _make_fwd_kernel(False, False, True)
-    col, invd_img, finT, am = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=_interpret(),
-    )(counts, bg, payload)
+        col, invd_img, finT, am = pl.pallas_call(
+            _make_fwd_kernel(False, False, True),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+                jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+                jax.ShapeDtypeStruct((nty * ntx * REG_H, REG_W), dt),
+                jax.ShapeDtypeStruct((4, nty * ntx * REG_H, REG_W), dt),
+            ],
+            interpret=_interpret(),
+        )(counts, bg, payload)
     out = (col, invd_img, finT, am)
     return out, (fields, payload, idx_pad, counts, bg, col, finT)
 
@@ -1525,10 +1612,10 @@ def _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
 def _blend_train_bwd(nty: int, ntx: int, res, g):
     fields, payload, idx_pad, counts, bg, col, finT = res
     gc, _gd, gtt, _gam = g  # invd/allmap outputs are zeros in this config
-    T, K, NF = payload.shape
-    P1 = fields.shape[0]
+    P1, NF = fields.shape
+    K = _KP if payload is None else payload.shape[1]
     PR = _acc_rows(P1)
-    dt = payload.dtype
+    dt = fields.dtype
     img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
     basis = USE_BASIS_BWD
     # widest group that divides K (payload/idx reads stay in bounds for the
@@ -1539,9 +1626,19 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
         grp = _CHUNK
     n_scr = 1 if basis else 6  # Dp-only scratch vs six weighted maps
     if PAIRED_BLEND and not basis and ntx % 2 == 0:
+        indirect = payload is None
         ntp = ntx // 2
         img2 = lambda: pl.BlockSpec(
             (2 * REG_H, REG_W), lambda i, j, c, b: (i * ntp + j, 0)
+        )
+        # DMA diet: base_inv = -gt*finT - gc*outc precomputed here (fuses
+        # with the cotangent producers) — two image blocks per program
+        # instead of four
+        binv = -gtt * finT - gc * col
+        fp_spec = (
+            pl.BlockSpec((P1, NF), lambda i, j, c, b: (0, 0))
+            if indirect
+            else pl.BlockSpec((2, K, NF), lambda i, j, c, b: (i * ntp + j, 0, 0))
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -1551,10 +1648,8 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
                     (2 * _KP,), lambda i, j, c, b: (i * ntp + j,),
                     memory_space=pltpu.SMEM,
                 ),
-                pl.BlockSpec(
-                    (2, K, NF), lambda i, j, c, b: (i * ntp + j, 0, 0)
-                ),
-                img2(), img2(), img2(), img2(),
+                fp_spec,
+                img2(), img2(),
             ],
             out_specs=[
                 pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
@@ -1564,7 +1659,17 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
                 pltpu.VMEM((PR, 128), dt),
             ],
         )
-        kern = _make_bwd_moment_rmw_paired(PR, grp)
+        (acc,) = pl.pallas_call(
+            _make_bwd_moment_rmw_paired(PR, grp, indirect=indirect),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((PR, 128), dt)],
+            interpret=_interpret(),
+        )(counts, bg, idx_pad.reshape(-1),
+          fields if indirect else payload, gc, binv)
+        M = acc.reshape(PR * 16, 8)[:P1]
+        dfields = _moments_to_dfields(M, fields)
+        dbg = jnp.sum(gc * finT, dtype=dt).reshape(bg.shape)
+        return (dfields, None, None, None, dbg)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

@@ -47,10 +47,12 @@ fns = {}
 
 
 def get_fn(cfg):
-    """One jit instance per config (paired, grp, ppipe)."""
+    """One jit instance per config (paired, grp, ppipe, cheap_exp)."""
     if cfg in fns:
         return fns[cfg]
-    RP.PAIRED_BLEND, RP._BWD_GROUP, RP._PPIPE = cfg
+    (RP.PAIRED_BLEND, RP._BWD_GROUP, RP._PPIPE, RP.FAST_EXP_CHEAP,
+     RP.TRAIN_INDIRECT) = cfg
+    RP._make_fwd_train_paired.cache_clear()
     RP._make_bwd_moment_rmw_kernel.cache_clear()
     RP._make_bwd_moment_rmw_paired.cache_clear()
     RP._make_fwd_train_paired.cache_clear()
@@ -78,16 +80,16 @@ vi = jnp.arange(K, dtype=jnp.int32) % n_views
 cam_arrays = (w2c[vi], proj[vi], ctr[vi])
 gts_c = gt_all[vi]
 
-BASE = (False, 32, 4)  # (paired, bwd_grp, ppipe)
+BASE = (True, 32, 4, False, False)  # (paired, grp, ppipe, cheapexp, indirect)
+IND = (True, 32, 4, False, True)
+IND_CHEAP = (True, 32, 4, True, True)
 CONFIGS = (
     BASE,
-    (True, 32, 4),
+    IND,
     BASE,
-    (True, 32, 4),
-    (True, 32, 8),
-    (True, 16, 4),
-    BASE,
-    (True, 32, 4),
+    IND,
+    IND_CHEAP,
+    IND,
 )
 
 for visit, cfg in enumerate(CONFIGS):
@@ -104,7 +106,7 @@ for visit, cfg in enumerate(CONFIGS):
         ts, m = chunk(ts, cam_arrays, gts_c)
     loss = float(np.asarray(m["total"])[-1])
     dt = time.time() - t0
-    print(f"visit {visit} paired/grp/ppipe={cfg}: {dt/200*1e3:.2f} ms/step "
+    print(f"visit {visit} paired/grp/ppipe/cheapexp/ind={cfg}: {dt/200*1e3:.2f} ms/step "
           f"({200/dt*H*W/1e6:.1f} Mpix/s; first+warm {warm:.0f}s, "
           f"loss {loss:.4f})", flush=True)
 print("done")
