@@ -55,7 +55,8 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
     def raster_loss(m2):
         # blend_train — what the auto-select picks for training (render.py)
         p = pre._replace(mean2d=m2)
-        b = B.bin_gaussians(p, H, W, capacity=pipe_cfg.tile_capacity)
+        b = B.bin_gaussians(p, H, W, capacity=pipe_cfg.tile_capacity,
+                            big_capacity=pipe_cfg.big_capacity)
         fl = stack_fields(p, col, amz, geo=False, invd=False, ones=True)
         c, _, _, _ = blend_train(
             fl, b.gather_idx, b.idx_pad, b.counts, bgr, nty, ntx

@@ -53,6 +53,17 @@ class PipelineConfig:
     # optional indirect blend flavor needs a multiple of 1024 (Mosaic 1-D
     # SMEM tiling) — render() falls back to the table kernels otherwise.
     tile_capacity: int = 896
+    # big-rect tier capacity (ops/binning.py): Gaussians whose clipped
+    # rect exceeds tier1_rect=4 tiles.  Curve splats are thin by
+    # construction (curves sample to narrow Gaussian chains), so >4-tile
+    # rects are rare — the worst-case bench scene has ZERO (round 4).
+    # 1024 gives >2x headroom over any observed scene; the driver grows
+    # it on big_overflow exactly like tile_capacity (the reference
+    # re-allocates on demand the same way: rasterizer_impl.cu
+    # resizeFunctional).  A 4096 tier cost ~0.3 ms/step of dead gathers
+    # at the bench point.
+    big_capacity: int = 1024
+    max_big_capacity: int = 8192
     backend: str = "pallas"  # 'pallas' | 'reference'
     # what the training driver does when a chunk reports dropped tile
     # candidates (ops/binning.py overflow): 'grow' doubles tile_capacity at

@@ -604,6 +604,8 @@ def train_scene(
             )
     k_floor = 128  # raised whenever a tile_capacity overflows
     peak_window: List[int] = []
+    bigpeak_window: List[int] = []
+    b_floor = 256  # raised whenever the big tier overflows
 
     profiled = False
     for ch in plan:
@@ -671,6 +673,8 @@ def train_scene(
         )
         if "tile_peak" in metrics and len(metrics["tile_peak"]):
             peak_window.append(int(metrics["tile_peak"].max()))
+        if "big_peak" in metrics and len(metrics["big_peak"]):
+            bigpeak_window.append(int(metrics["big_peak"].max()))
         if 0 < ov <= tol:
             k_floor = max(k_floor, pipe_cfg.tile_capacity)
             print(
@@ -708,6 +712,32 @@ def train_scene(
                     f"{pipe_cfg.tile_capacity} (recompile at next chunk)",
                     flush=True,
                 )
+        # big-rect tier growth: big_overflow is counted separately from
+        # the K overflow so the RIGHT capacity grows (the reference's
+        # resizeFunctional re-allocs its buffers on demand the same way)
+        bov = int(metrics.get("big_overflow", np.zeros(1)).sum())
+        if bov > 0:
+            print(
+                f"[{iteration + k:6d}] WARNING: big-rect tier dropped {bov} "
+                f"candidate slots (big_capacity {pipe_cfg.big_capacity})",
+                flush=True,
+            )
+            if (
+                pipe_cfg.overflow_policy == "grow"
+                and pipe_cfg.big_capacity < pipe_cfg.max_big_capacity
+            ):
+                pipe_cfg = dataclasses.replace(
+                    pipe_cfg,
+                    big_capacity=min(
+                        pipe_cfg.big_capacity * 2, pipe_cfg.max_big_capacity
+                    ),
+                )
+                b_floor = max(b_floor, pipe_cfg.big_capacity)
+                print(
+                    f"[{iteration + k:6d}] growing big_capacity -> "
+                    f"{pipe_cfg.big_capacity} (recompile at next chunk)",
+                    flush=True,
+                )
         # per-iteration wall time (the reference's iter_time TB scalar)
         metrics["iter_time"] = np.full(
             k, (time.time() - t_chunk) / k, np.float32
@@ -730,7 +760,8 @@ def train_scene(
                 # old (already-compiled) capacity — the padded rows cost
                 # ~3 ms/step, a recompile stall costs 60-130 s — switching
                 # at the first event after the warm completes.
-                bkey = (new_cap, pipe_cfg.tile_capacity)
+                bkey = (new_cap, pipe_cfg.tile_capacity,
+                        pipe_cfg.big_capacity)
                 evt = bucket_ready.get(bkey)
                 if evt is None:
                     evt = threading.Event()
@@ -793,13 +824,23 @@ def train_scene(
             want = want_tile_capacity(
                 max(peak_window[-3:]), pipe_cfg.tile_capacity, k_floor
             )
-            if want < pipe_cfg.tile_capacity:
+            # big-rect tier shrinks by the same policy toward its observed
+            # peak (2x headroom, power-of-two, hysteresis); both shrinks
+            # ride ONE warmed compile when they land together
+            want_b = pipe_cfg.big_capacity
+            if bigpeak_window:
+                want_b = want_tile_capacity(
+                    max(bigpeak_window[-3:]), pipe_cfg.big_capacity, b_floor
+                )
+            if want < pipe_cfg.tile_capacity or want_b < pipe_cfg.big_capacity:
                 # while a curve-capacity shrink is in flight, warm the small
                 # K at the INCOMING capacity so both switches share a compile
                 tcap = live["pending_cap"] if live["pending_cap"] is not None \
                     else ts.alive.shape[0]
-                pipe_want = dataclasses.replace(pipe_cfg, tile_capacity=want)
-                bkey = (tcap, want)
+                pipe_want = dataclasses.replace(
+                    pipe_cfg, tile_capacity=want, big_capacity=want_b
+                )
+                bkey = (tcap, want, want_b)
                 evt = bucket_ready.get(bkey)
                 if evt is None:
                     evt = threading.Event()
@@ -815,10 +856,12 @@ def train_scene(
                     live["K"] = want
                     live["pending_K"] = None
                     peak_window.clear()
+                    bigpeak_window.clear()
                     if not quiet:
                         print(
                             f"[{iteration:6d}] shrinking tile_capacity -> "
-                            f"{want} (observed peak {pk}, compile warm)",
+                            f"{want} / big_capacity -> {want_b} "
+                            f"(observed peaks {pk}, compile warm)",
                             flush=True,
                         )
 

@@ -140,6 +140,7 @@ def _train_step_impl(
             render_geo=False,
             compute_invdepth=False,
             capacity=pipe_cfg.tile_capacity,
+            big_capacity=pipe_cfg.big_capacity,
             backend=pipe_cfg.backend,
             # learned per-view exposure (reference train_test_exp:
             # train.py:95, gaussian_renderer/__init__.py:132-135); grads
@@ -150,11 +151,13 @@ def _train_step_impl(
             state, out, gauss, gt_image, opt_cfg, use_mask, conn_on=conn_on
         )
         return loss, (aux, out["visibility"] & gauss["alive"], out["radii"],
-                      out["overflow"], out["tile_peak"])
+                      out["overflow"], out["tile_peak"],
+                      out["big_peak"], out["big_overflow"])
 
     offset0 = jnp.zeros((P, 2), jnp.float32)
     live = {k: v for k, v in ts.params.items() if k not in dead}
-    (loss, (aux, visible, radii, overflow, tile_peak)), (gparams, goffset) = (
+    (loss, (aux, visible, radii, overflow, tile_peak, big_peak,
+            big_overflow)), (gparams, goffset) = (
         jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
             live, offset0
         )
@@ -188,6 +191,8 @@ def _train_step_impl(
     metrics["overflow"] = overflow
     metrics["n_visible"] = jnp.sum(visible)
     metrics["tile_peak"] = tile_peak
+    metrics["big_peak"] = big_peak
+    metrics["big_overflow"] = big_overflow
     return new_ts, metrics
 
 
@@ -298,6 +303,7 @@ def eval_render(
         antialiasing=pipe_cfg.antialiasing,
         render_geo=pipe_cfg.render_geo,
         capacity=pipe_cfg.tile_capacity,
+        big_capacity=pipe_cfg.big_capacity,
         backend=pipe_cfg.backend,
         # reference applies the learned exposure at eval when train_test_exp
         # (gaussian_renderer/__init__.py:132-135 runs for every render call)

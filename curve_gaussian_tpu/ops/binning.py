@@ -129,6 +129,14 @@ class Binning(NamedTuple):
     # when K > 1024 or for the pairs method (callers fall back to the
     # table flavor's scatter).
     idx_pad: jnp.ndarray | None = None  # [T, 1024] int32
+    # big-tier telemetry (sort method): how many Gaussians exceeded the
+    # tier-1 rect this view (pre-clamp) and how many candidate slots were
+    # dropped because the big tier was full.  The training driver grows
+    # big_capacity on big_overflow like it grows tile_capacity (the
+    # reference re-allocates its buffers on demand the same way:
+    # rasterizer_impl.cu resizeFunctional).  Zeros for the pairs method.
+    big_count: jnp.ndarray | None = None  # [] int32
+    big_overflow: jnp.ndarray | None = None  # [] int32
 
 
 class _Rect(NamedTuple):
@@ -236,7 +244,13 @@ def _emit_pairs(
         return jnp.where(ok, py_t * ntx + px_t, T), ok, d, ids
 
     rs = jnp.arange(max_rect, dtype=jnp.int32)
-    return jax.vmap(pair_fields, out_axes=1)(rs)  # [P, R] each
+    # [R, P] (slot-major): the flatten before the sort is then a contiguous
+    # row concatenation instead of a [P, R] T(4,128) -> T(8,128) relayout
+    # copy + strided reshape (~0.15 ms/step at the bench point, round-4
+    # trace copies .154/.156 + reshapes .2204-.2208).  Sort order is
+    # irrelevant to correctness: the 3-key sort includes the original
+    # index, and each (gaussian, tile) occurs at most once.
+    return jax.vmap(pair_fields, out_axes=0)(rs)  # [R, P] each
 
 
 @functools.partial(
@@ -254,7 +268,7 @@ def bin_gaussians(
     max_rect: int = 16,
     method: str = "sort",
     tier1_rect: int = 4,
-    big_capacity: int = 4096,
+    big_capacity: int = 1024,
 ) -> Binning:
     nty, ntx = tile_grid(height, width)
     if method == "sort":
@@ -316,7 +330,7 @@ def _bin_sort(
     )
     # tier1 already emitted slots [0, tier1_rect) for every Gaussian
     tiles2, d2, v2 = (
-        tiles2[:, tier1_rect:], d2[:, tier1_rect:], v2[:, tier1_rect:]
+        tiles2[tier1_rect:], d2[tier1_rect:], v2[tier1_rect:]
     )
 
     # ONE lexicographic sort by (tile, view depth, original index) — the
@@ -394,7 +408,7 @@ def _bin_sort(
     ).sum()
     big_overflow = jnp.where(
         big & (pos >= big_capacity), rect.rw_c * rect.rh_c - tier1_rect, 0
-    ).sum()
+    ).sum().astype(jnp.int32)
     overflow = (
         jnp.maximum(raw - K, 0).sum() + rect_overflow + big_overflow
     ).astype(jnp.int32)
@@ -405,6 +419,8 @@ def _bin_sort(
         overflow=overflow,
         peak=jnp.max(raw).astype(jnp.int32),
         idx_pad=idx_pad,
+        big_count=big.sum().astype(jnp.int32),
+        big_overflow=big_overflow,
     )
 
 
@@ -421,6 +437,7 @@ def _bin_pairs(pre: Preprocessed, nty: int, ntx: int, K: int, max_rect: int):
     pre_s = jax.tree.map(lambda a: a[order], pre)
     rect = _rect_fields(pre_s, nty, ntx, max_rect)
     tiles_pr, ok_pr, _, _ = _emit_pairs(pre_s, rect, T, ntx, max_rect)
+    tiles_pr, ok_pr = tiles_pr.T, ok_pr.T  # this method indexes [P, R]
     rect_overflow = jnp.where(
         pre_s.valid, rect.area - rect.rw_c * rect.rh_c, 0
     ).sum()
@@ -452,10 +469,13 @@ def _bin_pairs(pre: Preprocessed, nty: int, ntx: int, K: int, max_rect: int):
     overflow = (
         jnp.maximum(total - K, 0).sum() + rect_overflow
     ).astype(jnp.int32)
+    z = jnp.zeros((), jnp.int32)
     return Binning(
         gather_idx=gather_idx,
         slot_valid=slot_valid,
         counts=counts.astype(jnp.int32),
         overflow=overflow,
         peak=jnp.max(total).astype(jnp.int32),
+        big_count=z,
+        big_overflow=z,
     )

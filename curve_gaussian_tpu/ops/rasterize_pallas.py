@@ -99,6 +99,15 @@ _PPIPE = 4  # phase-1 sub-group width per tile inside a paired group
 # the 0.4 ms/step XLA payload gather.  The indirect flavor re-tested a
 # round-2 loser under this round's cost model.  Paired even-ntx only.
 TRAIN_INDIRECT = True
+# moment-backward scratch mode: reduced (sublane-sum each moment map to a
+# (1,128) row in registers, VPU lane-sum combiner) vs full (six (8,128)
+# map stores per instance + MXU one-hot combiner).  probe_r4_bwdcost
+# attributed ~46% of the kernel to the full-map stores; A/B in ONE
+# process decides the default (grants differ ~10x across processes).
+# VERDICT (probe_r4_ab, one grant, interleaved): reduced LOSES 5.55 ->
+# 5.86 ms/step — full-tile (8,128) stores pipeline well; the sublane
+# reduction + single-row stores cost more than the traffic they save.
+BWD_SCR_REDUCED = False
 
 # training-config backward flavor: moment-scratch (MXU combiner) vs the
 # parking kernel.  Module-level so benchmarks can A/B them in one process.
@@ -900,7 +909,7 @@ def _make_bwd_moment_rmw_basis_kernel(PR: int, L):
 
 @functools.lru_cache(maxsize=None)
 def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True,
-                                grp: int = _CHUNK):
+                                grp: int = _CHUNK, reduced: bool = True):
     """Training-config backward with IN-KERNEL slot->Gaussian reduction.
 
     Same per-instance math and moment-scratch MXU combiner as
@@ -969,9 +978,10 @@ def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True,
             acc_ref[...] = jnp.zeros(acc_ref.shape, fdt)
 
         rows_per = grp * REG_H
-        gi = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 0)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 1)
-        S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)
+        if not reduced:
+            gi = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 0)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 1)
+            S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)
         lane = jax.lax.broadcasted_iota(jnp.int32, (grp, 128), 1)
         lane_m8 = lane % 8
         zrowg = jnp.zeros((grp, 128), fdt)
@@ -1029,28 +1039,40 @@ def _make_bwd_moment_rmw_kernel(PR: int, basis: bool = True,
                     Dp = g_alpha * G
                     e1 = Dp * dx
                     e2 = Dp * dy
+                    # reduced: sublane-sum each moment map to ONE row in
+                    # registers before storing (see the paired kernel)
                     for k, v in enumerate(
                         (Dp, e1, e2, e1 * dx, e1 * dy, e2 * dy)
                     ):
-                        scr_ref[
-                            pl.ds(
-                                rows_per * k + REG_H * (s * _BPIPE + i),
-                                REG_H,
-                            ),
-                            :,
-                        ] = v
+                        if reduced:
+                            scr_ref[grp * k + s * _BPIPE + i, :] = jnp.sum(
+                                v, axis=0
+                            )
+                        else:
+                            scr_ref[
+                                pl.ds(
+                                    rows_per * k
+                                    + REG_H * (s * _BPIPE + i),
+                                    REG_H,
+                                ),
+                                :,
+                            ] = v
             state = (T_, act, gcpref)
-            # MXU combiner: per-instance sublane+lane sums of each moment,
-            # replicated across the 16 lane groups so the RMW below only
-            # has to mask, not shuffle
+            # reduced: VPU lane-sum of per-instance rows; full: MXU
+            # one-hot combiner.  Either way rowsg replicates the (grp,1)
+            # sums across the 16 lane groups so the RMW only has to mask
             rowsg = zrowg
             for k in range(6):
-                blk = scr_ref[pl.ds(rows_per * k, rows_per), :]
-                Ak = jax.lax.dot_general(
-                    S, blk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=fdt,
-                )  # (grp, 128)
-                col = jnp.sum(Ak, axis=1, keepdims=True)  # (grp, 1)
+                if reduced:
+                    blk = scr_ref[pl.ds(grp * k, grp), :]
+                    col = jnp.sum(blk, axis=1, keepdims=True)  # (grp, 1)
+                else:
+                    blk = scr_ref[pl.ds(rows_per * k, rows_per), :]
+                    Ak = jax.lax.dot_general(
+                        S, blk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=fdt,
+                    )
+                    col = jnp.sum(Ak, axis=1, keepdims=True)
                 rowsg = rowsg + jnp.where(lane_m8 == k, col, zrowg)
             off = g * grp
             for i in range(grp):
@@ -1203,7 +1225,8 @@ def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False):
+def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False,
+                                reduced: bool = True):
     """Paired-tile flavor of the direct moment-RMW backward (PAIRED_BLEND).
 
     Identical per-instance math; two tiles' chains interleave per group,
@@ -1252,10 +1275,11 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False):
             acc_ref[...] = jnp.zeros(acc_ref.shape, fdt)
 
         rows_per = grp * REG_H
-        half = 6 * rows_per  # scratch rows per tile
-        gi = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 0)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 1)
-        S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)
+        half = 6 * grp if reduced else 6 * rows_per  # scratch rows per tile
+        if not reduced:
+            gi = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 0)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (grp, rows_per), 1)
+            S = jnp.where(ri // REG_H == gi, 1.0, 0.0).astype(fdt)
         lane = jax.lax.broadcasted_iota(jnp.int32, (grp, 128), 1)
         lane_m8 = lane % 8
         zrowg = jnp.zeros((grp, 128), fdt)
@@ -1312,12 +1336,19 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False):
                     DpA = gal * GA
                     e1 = DpA * dxA
                     e2 = DpA * dyA
+                    # reduced mode: sublane-sum each (8,128) moment map
+                    # to ONE row in registers before storing (full-map
+                    # stores are 4 KB x 6/instance of VMEM traffic,
+                    # ~46% of this kernel per probe_r4_bwdcost)
                     for k, v in enumerate(
                         (DpA, e1, e2, e1 * dxA, e1 * dyA, e2 * dyA)
                     ):
-                        scr_ref[
-                            pl.ds(rows_per * k + REG_H * ii, REG_H), :
-                        ] = v
+                        if reduced:
+                            scr_ref[grp * k + ii, :] = jnp.sum(v, axis=0)
+                        else:
+                            scr_ref[
+                                pl.ds(rows_per * k + REG_H * ii, REG_H), :
+                            ] = v
                     agB, GB, dxB, dyB = pb[i]
                     bT = agB * Tb
                     remb = Tb - bT
@@ -1336,22 +1367,36 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False):
                     for k, v in enumerate(
                         (DpB, f1, f2, f1 * dxB, f1 * dyB, f2 * dyB)
                     ):
-                        scr_ref[
-                            pl.ds(half + rows_per * k + REG_H * ii, REG_H), :
-                        ] = v
+                        if reduced:
+                            scr_ref[half + grp * k + ii, :] = jnp.sum(
+                                v, axis=0
+                            )
+                        else:
+                            scr_ref[
+                                pl.ds(
+                                    half + rows_per * k + REG_H * ii, REG_H
+                                ),
+                                :,
+                            ] = v
             state = (Ta, actA, prA, Tb, actB, prB)
             off = g * grp
             for q in range(2):
+                # reduced: VPU lane-sum of per-instance rows; full: MXU
+                # one-hot combiner over the (rows_per, 128) map blocks
                 rowsg = zrowg
                 for k in range(6):
-                    blk = scr_ref[
-                        pl.ds(q * half + rows_per * k, rows_per), :
-                    ]
-                    Ak = jax.lax.dot_general(
-                        S, blk, (((1,), (0,)), ((), ())),
-                        preferred_element_type=fdt,
-                    )
-                    col = jnp.sum(Ak, axis=1, keepdims=True)
+                    if reduced:
+                        blk = scr_ref[pl.ds(q * half + grp * k, grp), :]
+                        col = jnp.sum(blk, axis=1, keepdims=True)
+                    else:
+                        blk = scr_ref[
+                            pl.ds(q * half + rows_per * k, rows_per), :
+                        ]
+                        Ak = jax.lax.dot_general(
+                            S, blk, (((1,), (0,)), ((), ())),
+                            preferred_element_type=fdt,
+                        )
+                        col = jnp.sum(Ak, axis=1, keepdims=True)
                     rowsg = rowsg + jnp.where(lane_m8 == k, col, zrowg)
                 for i in range(grp):
                     gid = idx_ref[q * _KP + off + i]
@@ -1655,12 +1700,21 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
                 pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
             ],
             scratch_shapes=[
-                pltpu.VMEM((2 * 6 * grp * REG_H, REG_W), dt),
+                # reduced: one (1,128) row per moment-instance; full: six
+                # (8,128) maps per instance
+                pltpu.VMEM(
+                    (2 * 6 * grp, 128)
+                    if BWD_SCR_REDUCED
+                    else (2 * 6 * grp * REG_H, REG_W),
+                    dt,
+                ),
                 pltpu.VMEM((PR, 128), dt),
             ],
         )
         (acc,) = pl.pallas_call(
-            _make_bwd_moment_rmw_paired(PR, grp, indirect=indirect),
+            _make_bwd_moment_rmw_paired(
+                PR, grp, indirect=indirect, reduced=BWD_SCR_REDUCED
+            ),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((PR, 128), dt)],
             interpret=_interpret(),
@@ -1688,11 +1742,24 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
                 pl.BlockSpec((PR, 128), lambda i, j, c, b: (0, 0))
             ],
             scratch_shapes=[
-                pltpu.VMEM((n_scr * grp * REG_H, REG_W), dt),
+                # basis flavor parks full (8,128) Dp maps; the direct
+                # flavor's shape follows BWD_SCR_REDUCED
+                pltpu.VMEM(
+                    (grp * REG_H, REG_W)
+                    if basis
+                    else (
+                        (6 * grp, 128)
+                        if BWD_SCR_REDUCED
+                        else (6 * grp * REG_H, REG_W)
+                    ),
+                    dt,
+                ),
                 pltpu.VMEM((PR, 128), dt),
             ],
         )
-        kern = _make_bwd_moment_rmw_kernel(PR, basis, grp)
+        kern = _make_bwd_moment_rmw_kernel(
+            PR, basis, grp, reduced=BWD_SCR_REDUCED
+        )
     (acc,) = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

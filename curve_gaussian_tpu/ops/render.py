@@ -93,6 +93,7 @@ def render(
     render_geo: bool = True,
     compute_invdepth: bool = True,
     capacity: int = 1024,
+    big_capacity: int = 1024,
     backend: str = "pallas",  # or "reference"
     exposure: Optional[jnp.ndarray] = None,  # [2] (scale, offset)
 ):
@@ -124,7 +125,9 @@ def render(
         # candidacy is tile-granular (see rasterize_ref docstring): feed the
         # oracle the same binning membership the tiled kernel uses so the
         # two backends stay comparable bit-for-bit, truncation included
-        binning = bin_gaussians(pre, H, W, capacity=capacity)
+        binning = bin_gaussians(
+            pre, H, W, capacity=capacity, big_capacity=big_capacity
+        )
         out = rasterize_reference(
             pre, color, allmap, bg_arr[0], H, W, render_geo=render_geo,
             member=membership(binning, xyz.shape[0]),
@@ -137,7 +140,9 @@ def render(
         )
         overflow = binning.overflow
     else:
-        binning = bin_gaussians(pre, H, W, capacity=capacity)
+        binning = bin_gaussians(
+            pre, H, W, capacity=capacity, big_capacity=big_capacity
+        )
         nty, ntx = tile_grid(H, W)
         train_cfg = (
             not render_geo and not compute_invdepth and color_ones
@@ -222,4 +227,14 @@ def render(
         "visibility": pre.radius > 0,
         "overflow": overflow,
         "tile_peak": binning.peak,
+        "big_peak": (
+            binning.big_count
+            if binning.big_count is not None
+            else jnp.zeros((), jnp.int32)
+        ),
+        "big_overflow": (
+            binning.big_overflow
+            if binning.big_overflow is not None
+            else jnp.zeros((), jnp.int32)
+        ),
     }

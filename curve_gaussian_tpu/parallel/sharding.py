@@ -110,6 +110,7 @@ def _one_view_grads(
             render_geo=False,
             compute_invdepth=False,
             capacity=pipe_cfg.tile_capacity,
+            big_capacity=pipe_cfg.big_capacity,
             backend=pipe_cfg.backend,
             exposure=params["exposure"][view_idx] if use_exposure else None,
         )
@@ -122,16 +123,17 @@ def _one_view_grads(
             out["radii"],
             out["overflow"],
             out["tile_peak"],
+            out["big_overflow"],
         )
 
     offset0 = jnp.zeros((P_g, 2), jnp.float32)
     live = {k: v for k, v in params.items() if k not in dead}
-    (loss, (total, visible, radii, overflow, tile_peak)), (gp, goff) = (
+    (loss, (total, visible, radii, overflow, tile_peak, big_ov)), (gp, goff) = (
         jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
             live, offset0
         )
     )
-    return gp, goff, total, visible, radii, overflow, tile_peak
+    return gp, goff, total, visible, radii, overflow, tile_peak, big_ov
 
 
 def _local_batch_step(
@@ -161,8 +163,9 @@ def _local_batch_step(
         raise ValueError("use_exposure requires per-view train indices")
 
     def body(carry, idx):
-        gp_acc, goff_acc, tot_acc, ov_acc, vis_acc, rad_acc, pk_acc = carry
-        gp, goff, total, visible, radii, ov, pk = _one_view_grads(
+        (gp_acc, goff_acc, tot_acc, ov_acc, vis_acc, rad_acc, pk_acc,
+         bov_acc) = carry
+        gp, goff, total, visible, radii, ov, pk, bov = _one_view_grads(
             ts.params,
             (ts.is_bezier, ts.alive),
             (w2c[idx], proj[idx], ctr[idx]),
@@ -184,6 +187,7 @@ def _local_batch_step(
             vis_acc | visible,
             jnp.maximum(rad_acc, radii),
             jnp.maximum(pk_acc, pk),
+            bov_acc + bov,
         ), None
 
     dead = ("features_dc",) + (() if use_exposure else ("exposure",))
@@ -198,8 +202,9 @@ def _local_batch_step(
         jnp.zeros((P_g,), bool),
         jnp.zeros((P_g,), jnp.int32),
         jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
     )
-    (gp, goff, tot, ov, vis, rad, peak), _ = jax.lax.scan(
+    (gp, goff, tot, ov, vis, rad, peak, big_ov), _ = jax.lax.scan(
         body, init, jnp.arange(nb)
     )
     if n_dev == 1:
@@ -219,6 +224,7 @@ def _local_batch_step(
         vis = jax.lax.psum(vis.astype(jnp.int32), "data") > 0
         rad = jax.lax.pmax(rad, "data")
         peak = jax.lax.pmax(peak, "data")
+        big_ov = jax.lax.psum(big_ov, "data")
 
     lrs = optim.group_lrs(opt_cfg, ts.step.astype(jnp.float32))
     lrs = dict(lrs)
@@ -244,6 +250,7 @@ def _local_batch_step(
         "overflow": ov,
         "n_visible": jnp.sum(vis),
         "tile_peak": peak,
+        "big_overflow": big_ov,
     }
     return new_ts, metrics
 

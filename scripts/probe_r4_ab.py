@@ -47,23 +47,26 @@ fns = {}
 
 
 def get_fn(cfg):
-    """One jit instance per config (paired, grp, ppipe, cheap_exp)."""
+    """One jit instance per config (paired, grp, ppipe, cheap_exp, ind,
+    scr_reduced, big_capacity)."""
     if cfg in fns:
         return fns[cfg]
     (RP.PAIRED_BLEND, RP._BWD_GROUP, RP._PPIPE, RP.FAST_EXP_CHEAP,
-     RP.TRAIN_INDIRECT) = cfg
-    RP._make_fwd_train_paired.cache_clear()
+     RP.TRAIN_INDIRECT, RP.BWD_SCR_REDUCED, bigcap) = cfg
     RP._make_bwd_moment_rmw_kernel.cache_clear()
     RP._make_bwd_moment_rmw_paired.cache_clear()
     RP._make_fwd_train_paired.cache_clear()
     RP._make_fwd_kernel.cache_clear()
+    import dataclasses
     import functools
+
+    pipe = dataclasses.replace(pipe_cfg, big_capacity=bigcap)
 
     @functools.partial(
         jax.jit, static_argnames=("um",), donate_argnums=(0,))
     def chunk(ts, cam_arrays, gts_c, um=False):
         return T.train_steps_scan.__wrapped__(
-            ts, cam_arrays, gts_c, bg, opt_cfg, pipe_cfg, use_mask=um,
+            ts, cam_arrays, gts_c, bg, opt_cfg, pipe, use_mask=um,
             n_gaussians=12, cam_geom=geom,
         )
 
@@ -80,16 +83,16 @@ vi = jnp.arange(K, dtype=jnp.int32) % n_views
 cam_arrays = (w2c[vi], proj[vi], ctr[vi])
 gts_c = gt_all[vi]
 
-BASE = (True, 32, 4, False, False)  # (paired, grp, ppipe, cheapexp, indirect)
-IND = (True, 32, 4, False, True)
-IND_CHEAP = (True, 32, 4, True, True)
+BIG4K = (True, 32, 4, False, False, False, 4096)
+BIG1K = (True, 32, 4, False, False, False, 1024)
+BIG256 = (True, 32, 4, False, False, False, 256)
 CONFIGS = (
-    BASE,
-    IND,
-    BASE,
-    IND,
-    IND_CHEAP,
-    IND,
+    BIG4K,
+    BIG1K,
+    BIG4K,
+    BIG1K,
+    BIG256,
+    BIG1K,
 )
 
 for visit, cfg in enumerate(CONFIGS):
@@ -106,7 +109,7 @@ for visit, cfg in enumerate(CONFIGS):
         ts, m = chunk(ts, cam_arrays, gts_c)
     loss = float(np.asarray(m["total"])[-1])
     dt = time.time() - t0
-    print(f"visit {visit} paired/grp/ppipe/cheapexp/ind={cfg}: {dt/200*1e3:.2f} ms/step "
+    print(f"visit {visit} cfg={cfg}: {dt/200*1e3:.2f} ms/step "
           f"({200/dt*H*W/1e6:.1f} Mpix/s; first+warm {warm:.0f}s, "
           f"loss {loss:.4f})", flush=True)
 print("done")

@@ -83,6 +83,21 @@ def make_kernel(variant: str):
     normw = "normw" in variant
     nostores = "nostores" in variant
     noload = "noload" in variant
+    nodiv = "nodiv" in variant
+    fastrecip = "fastrecip" in variant
+
+    def recip(d):
+        if nodiv:
+            return 2.0 - d  # structurally similar 1-op stand-in
+        if fastrecip:
+            bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+            x0 = jax.lax.bitcast_convert_type(
+                jnp.int32(0x7EF127EA) - bits, jnp.float32
+            )
+            x0 = x0 * (2.0 - d * x0)
+            x0 = x0 * (2.0 - d * x0)
+            return x0
+        return 1.0 / d
 
     def kernel(counts_ref, bg_ref, idx_ref, payload_ref,
                gc_ref, binv_ref, acc_out_ref, scr_ref, acc_ref):
@@ -167,7 +182,7 @@ def make_kernel(variant: str):
                     TiA = Ta
                     Ta = Ta - wA
                     prA = prA + gcA * wA
-                    inv1a = 1.0 / (1.0 - agA)
+                    inv1a = recip(1.0 - agA)
                     gal = gcA * TiA + inv1a * (base_invA + prA)
                     gal = gal * jnp.where(wA > 0.0, one, zero)
                     DpA = gal * GA
@@ -189,7 +204,7 @@ def make_kernel(variant: str):
                     TiB = Tb
                     Tb = Tb - wB
                     prB = prB + gcB * wB
-                    inv1b = 1.0 / (1.0 - agB)
+                    inv1b = recip(1.0 - agB)
                     galb = gcB * TiB + inv1b * (base_invB + prB)
                     galb = galb * jnp.where(wB > 0.0, one, zero)
                     DpB = galb * GB
@@ -287,7 +302,7 @@ def make_fn(variant: str):
     return run
 
 
-VARIANTS = ("full", "nocomb", "normw", "nostores", "noload", "full")
+VARIANTS = ("full", "nodiv", "fastrecip", "nodiv", "full", "fastrecip")
 fns = {v: make_fn(v) for v in set(VARIANTS)}
 for rep in range(3):
     for v in VARIANTS:
