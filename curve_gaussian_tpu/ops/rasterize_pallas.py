@@ -98,7 +98,10 @@ _PPIPE = 4  # phase-1 sub-group width per tile inside a paired group
 # rows at ~2.5 ns/row (VMEM tile padding), ~2 us per tile per kernel, plus
 # the 0.4 ms/step XLA payload gather.  The indirect flavor re-tested a
 # round-2 loser under this round's cost model.  Paired even-ntx only.
-TRAIN_INDIRECT = True
+# VERDICT (probe_r4_ab, one grant, interleaved): indirect LOSES 5.5 ->
+# 6.8 ms/step — the dependent idx->fields scalar-load chain costs more
+# in-kernel than the payload gather + block DMA it removes.  Default OFF.
+TRAIN_INDIRECT = False
 # moment-backward scratch mode: reduced (sublane-sum each moment map to a
 # (1,128) row in registers, VPU lane-sum combiner) vs full (six (8,128)
 # map stores per instance + MXU one-hot combiner).  probe_r4_bwdcost
