@@ -61,6 +61,19 @@ from .projection import Preprocessed
 from .rasterize_ref import ALPHA_EPS, TILE_H, TILE_W
 
 
+# Pack (tile, depth) into ONE uint32 sort key: tile id in the top bits,
+# the high bits of the positive-f32 depth pattern below (monotone for
+# depth > 0), original index as the second sort operand/key.  Probe
+# (scripts/probe_sortpack.py, one grant, interleaved): the 2-operand
+# packed sort medians 0.925 ms vs 1.188 for the 3-operand sort at 245k
+# pairs — multi-operand sorts are NOT flat-cost.  The tie-break among
+# depths equal in their kept high bits (~2^-14 relative quantization)
+# falls to the index key: DETERMINISTIC, but can differ from the
+# oracle's full-precision depth order on near-ties, so the flag is OFF
+# until the parity tiers carry an exemption (ROADMAP round-5 item).
+SORT_PACKED = False
+
+
 def tile_grid(height: int, width: int):
     nty = -(-height // TILE_H)
     ntx = -(-width // TILE_W)
@@ -348,7 +361,17 @@ def _bin_sort(
     tiles_flat = jnp.concatenate([tiles1.reshape(-1), tiles2.reshape(-1)])
     depth_flat = jnp.concatenate([d1.reshape(-1), d2.reshape(-1)])
     vals = jnp.concatenate([v1.reshape(-1), v2.reshape(-1)])
-    st, _, sv = jax.lax.sort((tiles_flat, depth_flat, vals), num_keys=3)
+    if SORT_PACKED:
+        # see the SORT_PACKED note: tile in the top bits (sentinel T
+        # included), monotone positive-f32 depth bits below, index as the
+        # deterministic tie-break key
+        tbits = (T + 1).bit_length()
+        dq = jax.lax.bitcast_convert_type(depth_flat, jnp.uint32) >> tbits
+        key = (tiles_flat.astype(jnp.uint32) << (32 - tbits)) | dq
+        skey, sv = jax.lax.sort((key, vals), num_keys=2)
+        st = (skey >> (32 - tbits)).astype(jnp.int32)
+    else:
+        st, _, sv = jax.lax.sort((tiles_flat, depth_flat, vals), num_keys=3)
     NP = st.shape[0]
 
     # identifyTileRanges: starts[t] = lower_bound(st, t), vectorized

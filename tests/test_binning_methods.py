@@ -80,3 +80,37 @@ def test_depth_order_within_tiles(rng):
     for t in range(idx.shape[0]):
         d = depth[idx[t][valid[t]]]
         assert np.all(np.diff(d) >= 0)
+
+
+@pytest.mark.parametrize("big_fraction", [0.0, 0.15])
+def test_packed_sort_matches_unpacked(rng, big_fraction):
+    """SORT_PACKED (single packed uint32 key + index key) keeps the
+    binning SEMANTICS: identical per-tile membership and counts, and
+    depth-sorted slots up to the ~2^-14 relative key quantization.  Slot
+    ORDER can legally differ from the 3-operand sort where two depths
+    fall inside one quantization step (the tie falls to the index key) —
+    that is exactly why the flag defaults off pending a parity-tier
+    exemption."""
+    pre, cam = _pre(rng, big_fraction=big_fraction)
+    nty, ntx = B.tile_grid(cam.height, cam.width)
+    args = (pre, nty, ntx, 512, 16, 4, 1024)
+    base = B._bin_sort(*args)
+    old = B.SORT_PACKED
+    B.SORT_PACKED = True
+    try:
+        packed = B._bin_sort(*args)
+    finally:
+        B.SORT_PACKED = old
+    np.testing.assert_array_equal(
+        np.asarray(base.counts), np.asarray(packed.counts)
+    )
+    assert int(packed.overflow) == int(base.overflow)
+    bi, pi = _tables(base), _tables(packed)
+    depth = np.asarray(pre.depth)
+    for t in range(bi.shape[0]):
+        a, b = bi[t][bi[t] >= 0], pi[t][pi[t] >= 0]
+        # same membership per tile
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
+        if len(b) > 1:  # depth-ordered up to key quantization
+            d = depth[b]
+            assert np.all(np.diff(d) >= -np.abs(d[:-1]) * 2.0 ** -13)
