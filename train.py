@@ -196,13 +196,16 @@ def main():
         profile_dir=args.profile_dir,
     )
 
-    if gt_scene is not None:
-        from curve_gaussian_tpu.eval import metrics as M
-        from curve_gaussian_tpu.eval.extract import sample_edge_dict
+    # GT eval fires for ANY scene with ground-truth edges: synthetic scenes
+    # carry them in memory; dataset scenes (all fabricated refscale-style
+    # scenes, scripts/make_ref_scale_scene.py) ship a gt_edges.json in the
+    # extraction format.  The reference only evals via a separate harness
+    # (edge_extraction/eval_main.py); folding it into train.py removes the
+    # manual step that left round 4's mv2cyl run unrecorded.
+    import json
 
-        pred_pts, pred_dirs = sample_edge_dict(
-            result.edge_dict, with_directions=True
-        )
+    gt_dict = None
+    if gt_scene is not None:
         gt_dict = {
             "curves_ctl_pts": gt_scene.curves[gt_scene.is_bezier]
             .reshape(-1, 12)
@@ -211,13 +214,23 @@ def main():
             .reshape(-1, 6)
             .tolist(),
         }
+    else:
+        gt_path = os.path.join(args.source_path or ".", "gt_edges.json")
+        if args.source_path and os.path.exists(gt_path):
+            with open(gt_path) as f:
+                gt_dict = json.load(f)
+    if gt_dict is not None:
+        from curve_gaussian_tpu.eval import metrics as M
+        from curve_gaussian_tpu.eval.extract import sample_edge_dict
+
+        pred_pts, pred_dirs = sample_edge_dict(
+            result.edge_dict, with_directions=True
+        )
         gt_pts, gt_dirs = sample_edge_dict(gt_dict, with_directions=True)
         res = M.evaluate_edges(pred_pts, gt_pts, pred_dirs, gt_dirs)
         print("eval vs GT curves:")
         for k, v in res.items():
             print(f"  {k}: {v:.4f}")
-        import json
-
         with open(os.path.join(model_path, "eval.json"), "w") as f:
             json.dump(res, f, indent=1)
 
