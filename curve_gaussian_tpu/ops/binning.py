@@ -270,9 +270,22 @@ def _emit_pairs(
     jax.jit,
     static_argnames=(
         "height", "width", "capacity", "max_rect", "method", "tier1_rect",
-        "big_capacity",
+        "big_capacity", "packed",
     ),
 )
+def _bin_gaussians_jit(
+    pre, height, width, capacity, max_rect, method, tier1_rect,
+    big_capacity, packed,
+) -> Binning:
+    nty, ntx = tile_grid(height, width)
+    if method == "sort":
+        return _bin_sort(
+            pre, nty, ntx, capacity, max_rect, tier1_rect, big_capacity,
+            packed=packed,
+        )
+    return _bin_pairs(pre, nty, ntx, capacity, max_rect)
+
+
 def bin_gaussians(
     pre: Preprocessed,
     height: int,
@@ -282,13 +295,19 @@ def bin_gaussians(
     method: str = "sort",
     tier1_rect: int = 4,
     big_capacity: int = 1024,
+    packed: bool | None = None,
 ) -> Binning:
-    nty, ntx = tile_grid(height, width)
-    if method == "sort":
-        return _bin_sort(
-            pre, nty, ntx, capacity, max_rect, tier1_rect, big_capacity
-        )
-    return _bin_pairs(pre, nty, ntx, capacity, max_rect)
+    # `packed=None` resolves the SORT_PACKED module flag HERE (call/trace
+    # time) and passes it as a static jit arg, so the jit cache keys on the
+    # resolved value — flipping the flag between calls can never hit a
+    # stale traced variant (the r4 TRAIN_INDIRECT incident was exactly
+    # this class of bug).
+    if packed is None:
+        packed = SORT_PACKED
+    return _bin_gaussians_jit(
+        pre, height, width, capacity, max_rect, method, tier1_rect,
+        big_capacity, bool(packed),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +323,10 @@ def _bin_sort(
     max_rect: int,
     tier1_rect: int,
     big_capacity: int,
+    packed: bool | None = None,
 ):
+    if packed is None:
+        packed = SORT_PACKED
     T = nty * ntx
     P = pre.mean2d.shape[0]
     rect = _rect_fields(pre, nty, ntx, max_rect)
@@ -349,9 +371,10 @@ def _bin_sort(
     # ONE lexicographic sort by (tile, view depth, original index) — the
     # TPU analogue of the reference's 64-bit [tileID | depth-bits] radix
     # sort (rasterizer_impl.cu:70-111).  The index as final key reproduces
-    # the oracle's stable-argsort tie-break exactly; a 3-operand lax.sort
-    # measures the same as a single-key sort_key_val on v5e (~1.4 ms at
-    # 245k), so no bit packing or precomputed depth ranks are needed.
+    # the oracle's stable-argsort tie-break exactly.  Operand count is NOT
+    # free (probe_sortpack, round 4: 2-operand packed 0.925 ms vs 1.188 ms
+    # here at 245k pairs) — the SORT_PACKED branch above trades exact
+    # depth-tie order for the cheaper packed single-key sort.
     # The barriers pin the emission fusions at [P, R]: without them XLA
     # hoists the flattening reshapes above the pair math and relayouts
     # every input FIELD at pair volume (~26 ops, 0.82 ms/step vs ~0.18 for
@@ -361,7 +384,7 @@ def _bin_sort(
     tiles_flat = jnp.concatenate([tiles1.reshape(-1), tiles2.reshape(-1)])
     depth_flat = jnp.concatenate([d1.reshape(-1), d2.reshape(-1)])
     vals = jnp.concatenate([v1.reshape(-1), v2.reshape(-1)])
-    if SORT_PACKED:
+    if packed:
         # see the SORT_PACKED note: tile in the top bits (sentinel T
         # included), monotone positive-f32 depth bits below, index as the
         # deterministic tie-break key
@@ -400,15 +423,18 @@ def _bin_sort(
         offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
     )
     # [T, KP] sentinel-padded table for the RMW backward's SMEM idx blocks
-    # (see Binning docstring).  When it exists (K <= KP, the training
+    # (see Binning docstring).  When it exists (KP <= 1024, the training
     # config), gather_idx is exactly its first K columns — the window
     # values agree below counts[t] and both mask to the sentinel P above —
     # so ONE window gather serves both tables (each gather lowers as a
     # ~0.22 ms/step serial while-loop under Pallas-chain pinning; round-4
-    # trace, while.11/while.12).
-    KP = 1024
+    # trace, while.11/while.12).  KP is the smallest 128-multiple >= K
+    # (rank-1 SMEM blocks need only 128-alignment, _ind_grid_spec): at the
+    # default K=896 that is 896, not the former fixed 1024 — 1/8 less
+    # window-gather and SMEM-block volume for free (round 5).
+    KP = -(-K // 128) * 128
     idx_pad = None
-    if K <= KP:
+    if KP <= 1024:
         sv_ext_p = jnp.concatenate([sv, jnp.full((KP,), P, jnp.int32)])
         win_p = jax.lax.gather(
             sv_ext_p, starts[:T, None], dn, (KP,),

@@ -125,6 +125,28 @@ USE_MOMENT_BWD = True
 # flip it with fresh jits.
 USE_BASIS_BWD = False
 
+# moment-scratch precision: bf16 halves the backward's dominant VMEM
+# traffic — the six (8,128) moment-map stores per instance plus their
+# combiner re-reads were ~46% of the kernel (probe_r4_bwdcost; 'reduced'
+# single-row stores and the MXU basis reformulation both measured WORSE,
+# see BWD_SCR_REDUCED / USE_BASIS_BWD).  Numerics: only the STORED maps
+# round to bf16 (~0.4% per element); the one-hot combiner runs them
+# through the MXU's native-bf16 path with f32 accumulation, and the
+# per-Gaussian slab RMW stays f32 — expected moment error ~1e-3 relative
+# (quality-gated by tests/test_rasterize.py::test_bf16_scratch_accuracy).
+# Default decided by the round-5 in-grant A/B.
+BWD_SCR_BF16 = False
+
+# ones-color forward conservation identity (ROADMAP round-4 item 1): with
+# every splat's color == 1, each blend step moves weight w from T to the
+# color accumulator, so col == 1 - T_final EXACTLY in real arithmetic
+# (col_out = 1 - T*(1-bg)) — the forward needs NO accumulator at all.
+# Drops one vector add per instance AND two (8,128) loop carries from the
+# paired kernel (register pressure).  f32 result differs from the
+# accumulate form only by summation-order rounding (<= a few ulps; the
+# oracle-parity tolerance covers it).
+FWD_CONSERVE = True
+
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -333,6 +355,12 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
         px, py = _pixel_grids(fdt)
         zero = jnp.zeros((REG_H, REG_W), fdt)
         one = zero + 1.0
+        # ones-color conservation (FWD_CONSERVE): col == 1 - T exactly, so
+        # the col accumulator (and its per-instance add) is dropped and the
+        # channel derives from the transmittance at the end
+        acc_chans = [
+            ch for ch in chans if not (ones and FWD_CONSERVE and ch == "col")
+        ]
 
         # two-phase pipeline: per _PIPE-instance sub-group, first compute
         # every instance's gated alpha INDEPENDENTLY (no cross-instance
@@ -385,19 +413,23 @@ def _make_fwd_kernel(geo: bool, invd: bool, ones: bool, indirect: bool = False):
                 # channel accumulation off the serial path (tree-summable)
                 accs = tuple(
                     acc + sum(
-                        w if (ones and ch == "col") else chv[c] * w
+                        w if (ones and ch == "col") else chv[chans.index(ch)] * w
                         for w, (_, chv) in zip(ws, pre)
                     )
-                    for c, (acc, ch) in enumerate(zip(accs, chans))
+                    for acc, ch in zip(accs, acc_chans)
                 )
             return (g + 1, (T, act, accs))
 
-        init = (one, one, (zero,) * nch)
+        init = (one, one, (zero,) * len(acc_chans))
         _, (T, _, accs) = jax.lax.while_loop(
             group_cond, group_body, (jnp.int32(0), init)
         )
-        by_ch = dict(zip(chans, accs))
-        col_ref[:, :] = by_ch["col"] + T * bg_ref[0]
+        by_ch = dict(zip(acc_chans, accs))
+        if "col" in by_ch:
+            col = by_ch["col"] + T * bg_ref[0]
+        else:  # conservation identity (see acc_chans above)
+            col = 1.0 - T * (1.0 - bg_ref[0])
+        col_ref[:, :] = col
         invd_ref[:, :] = by_ch.get("invd", zero)
         t_ref[:, :] = T
         for i in range(4):
@@ -1125,7 +1157,8 @@ def _moments_to_dfields(M, fields):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False):
+def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False,
+                           kp: int = 1024):
     """Training-config forward over a PAIR of adjacent tiles per program.
 
     See PAIRED_BLEND.  Payload block (2, K, NF); every output writes both
@@ -1169,7 +1202,7 @@ def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False):
 
         def phase1(q, j, px):
             if indirect:
-                gid = idx_ref[q * _KP + j]
+                gid = idx_ref[q * kp + j]
                 gf = lambda f: fields_ref[gid, f]
             else:
                 gf = lambda f: payload_ref[q, j, f]
@@ -1183,14 +1216,23 @@ def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False):
             cand = (power <= 0.0) & (alpha >= ALPHA_EPS)
             return jnp.where(cand, alpha, zero)
 
+        conserve = FWD_CONSERVE
+
         def group_cond(st):
-            g, (Ta, acta, accA, Tb, actb, accB) = st
+            g, state = st
+            acta = state[1]
+            actb = state[3] if conserve else state[4]
             return (g * grp < n) & (
                 (jnp.max(acta) > 0.5) | (jnp.max(actb) > 0.5)
             )
 
         def group_body(st):
-            g, (Ta, acta, accA, Tb, actb, accB) = st
+            g, state = st
+            if conserve:
+                Ta, acta, Tb, actb = state
+                accA = accB = None
+            else:
+                Ta, acta, accA, Tb, actb, accB = state
             for s in range(grp // _PPIPE):
                 base = g * grp + s * _PPIPE
                 pa = [phase1(0, base + i, pxa) for i in range(_PPIPE)]
@@ -1211,16 +1253,33 @@ def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False):
                     actb = actb * jnp.where(agB > 0.0, liveB, one)
                     Tb = Tb - wB
                     wsB.append(wB)
-                accA = accA + sum(wsA)
-                accB = accB + sum(wsB)
-            return (g + 1, (Ta, acta, accA, Tb, actb, accB))
+                if not conserve:  # FWD_CONSERVE: col derives from 1 - T
+                    accA = accA + sum(wsA)
+                    accB = accB + sum(wsB)
+            state = (
+                (Ta, acta, Tb, actb) if conserve
+                else (Ta, acta, accA, Tb, actb, accB)
+            )
+            return (g + 1, state)
 
-        init = (one, one, zero, one, one, zero)
-        _, (Ta, _, accA, Tb, _, accB) = jax.lax.while_loop(
+        init = (
+            (one, one, one, one) if conserve
+            else (one, one, zero, one, one, zero)
+        )
+        _, fin = jax.lax.while_loop(
             group_cond, group_body, (jnp.int32(0), init)
         )
-        col_ref[0:REG_H, :] = accA + Ta * bg_ref[0]
-        col_ref[REG_H : 2 * REG_H, :] = accB + Tb * bg_ref[0]
+        if conserve:
+            Ta, Tb = fin[0], fin[2]
+            # conservation identity: every blend step moved exactly w from
+            # T to the accumulator, so acc == 1 - T and
+            # col = acc + T*bg = 1 - T*(1 - bg)
+            col_ref[0:REG_H, :] = 1.0 - Ta * (1.0 - bg_ref[0])
+            col_ref[REG_H : 2 * REG_H, :] = 1.0 - Tb * (1.0 - bg_ref[0])
+        else:
+            Ta, accA, Tb, accB = fin[0], fin[2], fin[3], fin[5]
+            col_ref[0:REG_H, :] = accA + Ta * bg_ref[0]
+            col_ref[REG_H : 2 * REG_H, :] = accB + Tb * bg_ref[0]
         t_ref[0:REG_H, :] = Ta
         t_ref[REG_H : 2 * REG_H, :] = Tb
 
@@ -1229,7 +1288,7 @@ def _make_fwd_train_paired(grp: int = _FWD_CHUNK, indirect: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False,
-                                reduced: bool = True):
+                                reduced: bool = True, kp: int = 1024):
     """Paired-tile flavor of the direct moment-RMW backward (PAIRED_BLEND).
 
     Identical per-instance math; two tiles' chains interleave per group,
@@ -1293,7 +1352,7 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False,
 
         def phase1(q, j, px):
             if indirect:
-                gid = idx_ref[q * _KP + j]
+                gid = idx_ref[q * kp + j]
                 gf = lambda f: fp_ref[gid, f]
             else:
                 gf = lambda f: fp_ref[q, j, f]
@@ -1343,15 +1402,18 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False,
                     # to ONE row in registers before storing (full-map
                     # stores are 4 KB x 6/instance of VMEM traffic,
                     # ~46% of this kernel per probe_r4_bwdcost)
+                    sdt = scr_ref.dtype
                     for k, v in enumerate(
                         (DpA, e1, e2, e1 * dxA, e1 * dyA, e2 * dyA)
                     ):
                         if reduced:
-                            scr_ref[grp * k + ii, :] = jnp.sum(v, axis=0)
+                            scr_ref[grp * k + ii, :] = jnp.sum(
+                                v, axis=0
+                            ).astype(sdt)
                         else:
                             scr_ref[
                                 pl.ds(rows_per * k + REG_H * ii, REG_H), :
-                            ] = v
+                            ] = v.astype(sdt)
                     agB, GB, dxB, dyB = pb[i]
                     bT = agB * Tb
                     remb = Tb - bT
@@ -1373,36 +1435,41 @@ def _make_bwd_moment_rmw_paired(PR: int, grp: int, indirect: bool = False,
                         if reduced:
                             scr_ref[half + grp * k + ii, :] = jnp.sum(
                                 v, axis=0
-                            )
+                            ).astype(sdt)
                         else:
                             scr_ref[
                                 pl.ds(
                                     half + rows_per * k + REG_H * ii, REG_H
                                 ),
                                 :,
-                            ] = v
+                            ] = v.astype(sdt)
             state = (Ta, actA, prA, Tb, actB, prB)
             off = g * grp
             for q in range(2):
                 # reduced: VPU lane-sum of per-instance rows; full: MXU
                 # one-hot combiner over the (rows_per, 128) map blocks
+                # (bf16 scratch rides the MXU's native-bf16 input path
+                # with f32 accumulation — S is an exact one-hot either way)
                 rowsg = zrowg
                 for k in range(6):
                     if reduced:
                         blk = scr_ref[pl.ds(q * half + grp * k, grp), :]
-                        col = jnp.sum(blk, axis=1, keepdims=True)
+                        col = jnp.sum(
+                            blk.astype(fdt), axis=1, keepdims=True
+                        )
                     else:
                         blk = scr_ref[
                             pl.ds(q * half + rows_per * k, rows_per), :
                         ]
                         Ak = jax.lax.dot_general(
-                            S, blk, (((1,), (0,)), ((), ())),
+                            S.astype(blk.dtype), blk,
+                            (((1,), (0,)), ((), ())),
                             preferred_element_type=fdt,
                         )
                         col = jnp.sum(Ak, axis=1, keepdims=True)
                     rowsg = rowsg + jnp.where(lane_m8 == k, col, zrowg)
                 for i in range(grp):
-                    gid = idx_ref[q * _KP + off + i]
+                    gid = idx_ref[q * kp + off + i]
                     bs = pl.multiple_of((gid // 128) * 8, 8)
                     val = jnp.where(
                         slabpos == gid % 128,
@@ -1592,9 +1659,10 @@ def _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
         ]
         if indirect:
             payload = None
+            KPi = idx_pad.shape[1]
             in_specs = [
                 pl.BlockSpec(
-                    (2 * _KP,), lambda i, j, c, b: (i * ntp + j,),
+                    (2 * KPi,), lambda i, j, c, b: (i * ntp + j,),
                     memory_space=pltpu.SMEM,
                 ),
                 pl.BlockSpec((P1, NF), lambda i, j, c, b: (0, 0)),
@@ -1618,7 +1686,10 @@ def _blend_train_fwd(fields, gidx, idx_pad, counts, bg, nty: int, ntx: int):
             out_specs=[img2(), img2()],
         )
         col, finT = pl.pallas_call(
-            _make_fwd_train_paired(indirect=indirect),
+            _make_fwd_train_paired(
+                indirect=indirect,
+                kp=idx_pad.shape[1] if indirect else 1024,
+            ),
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=_interpret(),
@@ -1661,7 +1732,8 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
     fields, payload, idx_pad, counts, bg, col, finT = res
     gc, _gd, gtt, _gam = g  # invd/allmap outputs are zeros in this config
     P1, NF = fields.shape
-    K = _KP if payload is None else payload.shape[1]
+    KP = idx_pad.shape[1] if idx_pad is not None else _KP
+    K = KP if payload is None else payload.shape[1]
     PR = _acc_rows(P1)
     dt = fields.dtype
     img = lambda: pl.BlockSpec((REG_H, REG_W), lambda i, j, c, b: (i * ntx + j, 0))
@@ -1693,7 +1765,7 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
             grid=(nty, ntp),
             in_specs=[
                 pl.BlockSpec(
-                    (2 * _KP,), lambda i, j, c, b: (i * ntp + j,),
+                    (2 * KP,), lambda i, j, c, b: (i * ntp + j,),
                     memory_space=pltpu.SMEM,
                 ),
                 fp_spec,
@@ -1704,19 +1776,20 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
             ],
             scratch_shapes=[
                 # reduced: one (1,128) row per moment-instance; full: six
-                # (8,128) maps per instance
+                # (8,128) maps per instance.  BWD_SCR_BF16 halves this
+                # buffer's store+reload traffic (see the flag).
                 pltpu.VMEM(
                     (2 * 6 * grp, 128)
                     if BWD_SCR_REDUCED
                     else (2 * 6 * grp * REG_H, REG_W),
-                    dt,
+                    jnp.bfloat16 if BWD_SCR_BF16 else dt,
                 ),
                 pltpu.VMEM((PR, 128), dt),
             ],
         )
         (acc,) = pl.pallas_call(
             _make_bwd_moment_rmw_paired(
-                PR, grp, indirect=indirect, reduced=BWD_SCR_REDUCED
+                PR, grp, indirect=indirect, reduced=BWD_SCR_REDUCED, kp=KP
             ),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((PR, 128), dt)],
@@ -1733,7 +1806,7 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
             grid=(nty, ntx),
             in_specs=[
                 pl.BlockSpec(
-                    (_KP,), lambda i, j, c, b: (i * ntx + j,),
+                    (KP,), lambda i, j, c, b: (i * ntx + j,),
                     memory_space=pltpu.SMEM,
                 ),
                 pl.BlockSpec((1, K, NF), lambda i, j, c, b: (i * ntx + j, 0, 0)),

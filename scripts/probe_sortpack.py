@@ -28,9 +28,14 @@ val = jnp.asarray(rng.integers(0, 49152, N), jnp.int32)
 
 @jax.jit
 def sort3(tile, depth, val):
+    # the PRODUCTION 3-operand sort (_bin_sort SORT_PACKED=False):
+    # num_keys=3, the value operand is the deterministic tie-break key.
+    # (The round-4 run of this probe used num_keys=2 — a slightly
+    # CHEAPER-than-production baseline, so the measured win was
+    # conservative; fixed per ADVICE r4.)
     def body(c, _):
         d = depth + c * 1e-12
-        _, _, v = jax.lax.sort((tile, d, val), num_keys=2)
+        _, _, v = jax.lax.sort((tile, d, val), num_keys=3)
         return v[0].astype(jnp.float32), None
 
     c, _ = jax.lax.scan(body, jnp.float32(0), None, length=STEPS)
@@ -40,11 +45,14 @@ def sort3(tile, depth, val):
 @jax.jit
 def sort2(tile, depth, val):
     # pack: tile in the top 8 bits, 24 depth bits below (monotone for
-    # positive floats: the f32 bit pattern orders correctly)
+    # positive floats: the f32 bit pattern orders correctly).  uint32
+    # key, exactly as the production SORT_PACKED branch — a signed key
+    # would order tiles >= 128 first (sign bit), which times the same
+    # but models the wrong comparison (ADVICE r4).
     def body(c, _):
         d = depth + c * 1e-12
-        dbits = jax.lax.bitcast_convert_type(d, jnp.int32) >> 8
-        key = (tile << 24) | (dbits & 0x00FFFFFF)
+        dbits = jax.lax.bitcast_convert_type(d, jnp.uint32) >> 8
+        key = (tile.astype(jnp.uint32) << 24) | (dbits & 0x00FFFFFF)
         _, v = jax.lax.sort_key_val(key, val)
         return v[0].astype(jnp.float32), None
 

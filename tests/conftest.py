@@ -42,3 +42,20 @@ def _bound_jit_cache_memory():
     none today)."""
     yield
     jax.clear_caches()
+
+
+@pytest.fixture
+def exact_depth_sort():
+    """Pin SORT_PACKED=False for tests that compare against an
+    independent full-precision-depth-order oracle (rasterize_ref /
+    torch / the pairs construction).  The packed sort key quantizes
+    depth to ~2^-(23-tbits) relative, so blend ORDER on near-ties can
+    legally differ from the oracle's — semantically irrelevant (the
+    reference's own radix key also truncates ordering information at
+    tie granularity) but outside bit-parity tolerances."""
+    from curve_gaussian_tpu.ops import binning as _B
+
+    old = _B.SORT_PACKED
+    _B.SORT_PACKED = False
+    yield
+    _B.SORT_PACKED = old

@@ -112,5 +112,17 @@ def test_packed_sort_matches_unpacked(rng, big_fraction):
         # same membership per tile
         np.testing.assert_array_equal(np.sort(a), np.sort(b))
         if len(b) > 1:  # depth-ordered up to key quantization
+            # the packed key keeps (23 - tbits) depth mantissa bits, so
+            # adjacent representable depths differ by <= 2^-(23-tbits)
+            # relative; derive the bound from the actual tile count so a
+            # fixture change cannot silently invalidate it (ADVICE r4)
+            tbits = (bi.shape[0] + 1).bit_length()
             d = depth[b]
-            assert np.all(np.diff(d) >= -np.abs(d[:-1]) * 2.0 ** -13)
+            assert np.all(np.diff(d) >= -np.abs(d[:-1]) * 2.0 ** -(23 - tbits - 1))
+
+
+@pytest.fixture(autouse=True)
+def _pin_exact_depth_sort(exact_depth_sort):
+    """This module compares against full-precision depth-order oracles;
+    see the exact_depth_sort fixture (conftest) for why SORT_PACKED is
+    exempted from bit-parity tiers."""

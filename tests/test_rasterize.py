@@ -402,3 +402,50 @@ class TestPairedBlend:
             a, b = np.asarray(a), np.asarray(b)
             m = np.abs(b).max() + 1e-8
             np.testing.assert_allclose(a / m, b / m, atol=5e-4, err_msg=name)
+
+
+@pytest.fixture(autouse=True)
+def _pin_exact_depth_sort(exact_depth_sort):
+    """This module compares against full-precision depth-order oracles;
+    see the exact_depth_sort fixture (conftest) for why SORT_PACKED is
+    exempted from bit-parity tiers."""
+
+
+class TestBf16Scratch:
+    """BWD_SCR_BF16 (bf16 moment-scratch maps, round 5) only rounds the
+    STORED per-instance moment maps; the MXU combiner accumulates in f32
+    and the per-Gaussian slab RMW stays f32, so gradients must track the
+    f32-scratch kernel to ~1e-3 normalized — the quality gate for
+    flipping the flag after the hardware A/B."""
+
+    def test_bf16_scratch_accuracy(self, rng, monkeypatch):
+        from curve_gaussian_tpu.ops import rasterize_pallas as RP
+
+        monkeypatch.setenv("CGT_BLEND_FLAVOR", "train")
+        cam = look_at_camera(
+            eye=[0.0, 0.3, -2.0], target=[0.0, 0.0, 0.0],
+            height=64, width=256,
+        )
+        xyz, scale, quat, opacity = random_scene(rng, n_curves=25)
+        kc = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+        kT = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+
+        def f(xyz, scale, quat, opacity):
+            out = render(
+                xyz, scale, quat, opacity, cam, bg=0.3, backend="pallas",
+                capacity=256, render_geo=False, compute_invdepth=False,
+            )
+            return (out["render"] * kc).sum() + (out["final_T"] * kT).sum()
+
+        grads = {}
+        for bf16 in (False, True):
+            monkeypatch.setattr(RP, "BWD_SCR_BF16", bf16)
+            jax.clear_caches()
+            grads[bf16] = jax.grad(f, argnums=(0, 3))(
+                xyz, scale, quat, opacity
+            )
+        for a, b, name in zip(grads[True], grads[False], ("xyz", "opacity")):
+            a, b = np.asarray(a), np.asarray(b)
+            m = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / m, b / m, atol=2e-3, err_msg=name)
+            assert np.abs(b).max() > 0, name

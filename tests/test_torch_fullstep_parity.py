@@ -237,3 +237,10 @@ def test_full_step_loss_and_grads(scene):
         m = np.abs(b).max()
         assert m > 0, f"torch grad for {name} is all zero"
         np.testing.assert_allclose(a / m, b / m, atol=1e-4, err_msg=name)
+
+
+@pytest.fixture(autouse=True)
+def _pin_exact_depth_sort(exact_depth_sort):
+    """This module compares against full-precision depth-order oracles;
+    see the exact_depth_sort fixture (conftest) for why SORT_PACKED is
+    exempted from bit-parity tiers."""

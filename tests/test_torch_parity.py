@@ -172,3 +172,10 @@ def test_gradients_match_torch(scene, rng):
         m = np.abs(b).max() + 1e-9
         assert np.abs(a - b).max() / m < 2e-3, name
         assert np.abs(b).max() > 0
+
+
+@pytest.fixture(autouse=True)
+def _pin_exact_depth_sort(exact_depth_sort):
+    """This module compares against full-precision depth-order oracles;
+    see the exact_depth_sort fixture (conftest) for why SORT_PACKED is
+    exempted from bit-parity tiers."""
