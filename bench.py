@@ -65,19 +65,38 @@ def _raster_micro(jax, jnp, cams, gts, seed_pts, pipe_cfg, H, W, n_views):
 
     import numpy as np
 
-    g_f = jax.jit(jax.grad(raster_loss))
-    out = g_f(pre.mean2d)
+    # scan-chunked: K_R grad evaluations fused in ONE dispatch, with a
+    # real data dependence threading each iteration (m2 += eps*g) so the
+    # body can neither DCE nor hoist (check the round-2 law: in-scan
+    # bodies fold away without a carried dependence).  The former 40-rep
+    # per-dispatch loop violated CLAUDE.md's own measurement law (~1 ms
+    # bimodal dispatch latency polluted it by up to -37%: BENCH_r04 9.97
+    # ms vs the same code's in-grant 6.29).
+    K_R = 25
+
+    @jax.jit
+    def chunk_r(m2):
+        def body(m2, _):
+            g = jax.grad(raster_loss)(m2)
+            return m2 + 1e-30 * g, ()
+
+        m2, _ = jax.lax.scan(body, m2, None, length=K_R)
+        return m2
+
+    out = chunk_r(pre.mean2d)
     # sync by VALUE pull: block_until_ready returns early on the axon
-    # runtime (CLAUDE.md); one pull after the loop covers all executions
+    # runtime (CLAUDE.md)
     float(np.asarray(out)[0, 0])
-    t0 = time.time()
-    reps = 40
-    for _ in range(reps):
-        out = g_f(pre.mean2d)
-    float(np.asarray(out)[0, 0])
-    r_ms = (time.time() - t0) / reps * 1e3
+    rates = []
+    for _ in range(3):  # median over 3 repeats within the grant
+        t0 = time.time()
+        out = chunk_r(out)
+        float(np.asarray(out)[0, 0])
+        rates.append((time.time() - t0) / K_R * 1e3)
+    r_ms = float(np.median(rates))
     print(
-        f"raster-only fwd+bwd (bin+payload+blend+grads): {r_ms:.2f} ms "
+        f"raster-only fwd+bwd (bin+payload+blend+grads, {K_R}-step scan "
+        f"chunks, median of 3): {r_ms:.2f} ms "
         f"-> {H * W / r_ms / 1e3:.1f} Mpix/s",
         file=sys.stderr,
     )
@@ -152,18 +171,25 @@ def main():
     loss0 = float(m["total"][-1])
     print(f"compile+first chunk ({K} steps) {time.time()-t0:.1f}s", file=sys.stderr)
 
-    n_chunks = 4
-    t0 = time.time()
-    for i in range(n_chunks):
-        ts, m = chunk(ts, i)
-    loss = float(m["total"][-1])  # device roundtrip = hard sync
-    dt = time.time() - t0
-    n_iters = n_chunks * K
-    iters_per_s = n_iters / dt
+    # median over 3 timed groups within the grant (grant throughput can
+    # drift mid-process; a single timed window is exposed to it)
+    n_chunks = 2
+    import numpy as _np
+
+    rates = []
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(n_chunks):
+            ts, m = chunk(ts, i)
+        loss = float(m["total"][-1])  # device roundtrip = hard sync
+        rates.append(n_chunks * K / (time.time() - t0))
+    iters_per_s = float(_np.median(rates))
     mpix_per_s = iters_per_s * H * W / 1e6
     print(
-        f"{n_iters} full train steps in {dt:.2f}s -> {iters_per_s:.2f} it/s, "
-        f"{mpix_per_s:.1f} Mpix/s fwd+bwd (loss {loss:.4f})",
+        f"{3 * n_chunks * K} full train steps (median of 3 groups) -> "
+        f"{iters_per_s:.2f} it/s, "
+        f"{mpix_per_s:.1f} Mpix/s fwd+bwd (loss {loss:.4f}; "
+        f"groups {[f'{r:.1f}' for r in rates]} it/s)",
         file=sys.stderr,
     )
 
@@ -227,20 +253,69 @@ def main():
                 float(np.asarray(mb["total"])[-1])
                 print(f"B={B} warm chunk {time.time()-t0:.1f}s",
                       file=sys.stderr)
-                t0 = time.time()
-                for _ in range(n_chunks):
-                    ts_b, mb = chunk_b(ts_b)
-                float(np.asarray(mb["total"])[-1])
-                dt_b = time.time() - t0
-                it_b = n_chunks * K / dt_b
+                rates_b = []
+                for _ in range(3):
+                    t0 = time.time()
+                    for _ in range(n_chunks):
+                        ts_b, mb = chunk_b(ts_b)
+                    float(np.asarray(mb["total"])[-1])
+                    rates_b.append(n_chunks * K / (time.time() - t0))
+                it_b = float(np.median(rates_b))
                 print(
-                    f"batched views B={B} (1 chip): {it_b:.2f} steps/s, "
+                    f"batched views B={B} (1 chip, median of 3): "
+                    f"{it_b:.2f} steps/s, "
                     f"{it_b * B:.2f} views/s, "
                     f"{it_b * B * H * W / 1e6:.1f} Mpix/s fwd+bwd",
                     file=sys.stderr,
                 )
         except Exception as e:  # pragma: no cover
             print(f"batched-view bench failed: {e}", file=sys.stderr)
+
+    # tile-parallel render on the 1-device TPU mesh: the same shard_map
+    # machinery the multi-chip path uses (parallel.sharding.
+    # tile_parallel_render), measured so the capability has a hardware
+    # number (VERDICT r4 item 5).  Single-view eval-config render
+    # (geo+invd on), scan-chunked.
+    try:
+        from curve_gaussian_tpu.parallel import sharding as sh
+
+        cam0 = cams[0]
+        ts_r = jax.device_put(T.init_train_state(
+            cs.init_state(seed_pts, n_views=n_views, n_gaussians=12)
+        ), jax.devices()[0])
+
+        @jax.jit
+        def chunk_tp(ts_r):
+            def body(c, _):
+                # bg rides the carry so the body cannot hoist out of the
+                # scan (loop-invariant bodies compute ONCE — CLAUDE.md law)
+                img = sh.tile_parallel_render(
+                    ts_r, (cam0.world_to_cam, cam0.full_proj,
+                           cam0.cam_center),
+                    geom, pipe_cfg, c * 1e-30, (("data", 1),),
+                )
+                return c + img[0, 0], ()
+
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=20)
+            return c
+
+        out = chunk_tp(ts_r)
+        float(np.asarray(out))
+        rates_tp = []
+        for _ in range(3):
+            t0 = time.time()
+            out = chunk_tp(ts_r)
+            float(np.asarray(out))
+            rates_tp.append((time.time() - t0) / 20 * 1e3)
+        tp_ms = float(np.median(rates_tp))
+        print(
+            f"tile-parallel eval render (1-dev mesh, shard_map, median of "
+            f"3): {tp_ms:.2f} ms/frame -> {H * W / tp_ms / 1e3:.1f} "
+            f"Mpix/s fwd",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"tile-parallel bench failed: {e}", file=sys.stderr)
 
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
@@ -269,14 +344,17 @@ def main():
         t0 = time.time()
         ts_m, mm = chunk_m(ts_m)
         print(f"midpoint compile+chunk {time.time()-t0:.1f}s", file=sys.stderr)
-        t0 = time.time()
-        for _ in range(n_chunks):
-            ts_m, mm = chunk_m(ts_m)
-        float(mm["total"][-1])
-        dt_m = time.time() - t0
-        it_m = n_chunks * K / dt_m
+        rates_m = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(n_chunks):
+                ts_m, mm = chunk_m(ts_m)
+            float(mm["total"][-1])
+            rates_m.append(n_chunks * K / (time.time() - t0))
+        it_m = float(np.median(rates_m))
         print(
-            f"mid-training point ({state_m.capacity} curves, use_mask): "
+            f"mid-training point ({state_m.capacity} curves, use_mask, "
+            f"median of 3): "
             f"{it_m:.2f} it/s, {it_m * H * W / 1e6:.1f} Mpix/s",
             file=sys.stderr,
         )
@@ -306,14 +384,17 @@ def main():
             float(np.asarray(mm["total"])[-1])
             print(f"adaptive-K compile+chunk {time.time()-t0:.1f}s",
                   file=sys.stderr)
-            t0 = time.time()
-            for _ in range(n_chunks):
-                ts_m, mm = chunk_a(ts_m)
-            float(np.asarray(mm["total"])[-1])
-            it_a = n_chunks * K / (time.time() - t0)
+            rates_a = []
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(n_chunks):
+                    ts_m, mm = chunk_a(ts_m)
+                float(np.asarray(mm["total"])[-1])
+                rates_a.append(n_chunks * K / (time.time() - t0))
+            it_a = float(np.median(rates_a))
             print(
                 f"mid-training @ adaptive tile_capacity {k_adapt} "
-                f"(peak {pk}): {it_a:.2f} it/s, "
+                f"(peak {pk}, median of 3): {it_a:.2f} it/s, "
                 f"{it_a * H * W / 1e6:.1f} Mpix/s",
                 file=sys.stderr,
             )

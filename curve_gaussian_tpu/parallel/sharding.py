@@ -423,14 +423,10 @@ def tile_parallel_render(
 
     Gaussians are replicated; each device bins/blends only its row block and
     the shards concatenate into the full image (pure spatial decomposition —
-    rendering is embarrassingly parallel across tiles)."""
-    from ..ops.binning import TILE_H, bin_gaussians, tile_grid
-    from ..ops.projection import preprocess
-    from ..ops.rasterize_pallas import build_payload, tile_blend, untile_image
-    from ..ops.render import main_axis_allmap
-
-    mesh = make_mesh(dict(mesh_shape)["data"])
-    n_dev = dict(mesh_shape)["data"]
+    rendering is embarrassingly parallel across tiles).  User entry points:
+    ``scripts/render_curves.py --n-devices N`` (frame rendering) and the
+    bench.py tile-parallel line; reference analogue: the tile decomposition
+    of rasterizer_impl.cu:196-347."""
     H, W = cam_geom[0], cam_geom[1]
     cam_static = Camera(
         world_to_cam=cam_arrays[0],
@@ -441,10 +437,32 @@ def tile_parallel_render(
         tanfovx=cam_geom[2],
         tanfovy=cam_geom[3],
     )
-    rows_per_dev = (-(-H // (TILE_H * n_dev))) * TILE_H
-
     state = cs.CurveState(**ts.params, is_bezier=ts.is_bezier, alive=ts.alive)
     gauss = cs.gaussians(state)
+    return tile_parallel_render_gaussians(
+        gauss, cam_static, pipe_cfg, bg, mesh_shape
+    )
+
+
+def tile_parallel_render_gaussians(
+    gauss: dict,
+    cam_static: Camera,
+    pipe_cfg: PipelineConfig,
+    bg,
+    mesh_shape: Tuple[Tuple[str, int], ...],
+):
+    """tile_parallel_render at the Gaussian level (xyz/scale/quat/opacity
+    [+alive] dict) — the shared core for TrainState renders and raw
+    splat-set renders (render_curves.py)."""
+    from ..ops.binning import TILE_H, bin_gaussians, tile_grid
+    from ..ops.projection import preprocess
+    from ..ops.rasterize_pallas import build_payload, tile_blend, untile_image
+    from ..ops.render import main_axis_allmap
+
+    mesh = make_mesh(dict(mesh_shape)["data"])
+    n_dev = dict(mesh_shape)["data"]
+    H, W = cam_static.height, cam_static.width
+    rows_per_dev = (-(-H // (TILE_H * n_dev))) * TILE_H
     # preprocess once with the FULL camera (projection depends on full H/W),
     # replicated; each device then bins/blends only its row block by shifting
     # mean2d into local row coordinates.
@@ -454,7 +472,7 @@ def tile_parallel_render(
         gauss["quat"],
         gauss["opacity"],
         cam_static,
-        alive=gauss["alive"],
+        alive=gauss.get("alive"),
     )
     allmap = main_axis_allmap(gauss["xyz"], gauss["quat"], cam_static)
     color = jnp.ones_like(gauss["opacity"])

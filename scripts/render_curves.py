@@ -25,6 +25,10 @@ def main():
     p.add_argument("--n-orbit", type=int, default=60)
     p.add_argument("--width", type=float, default=0.003)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="tile-parallel rendering: shard each frame's tile "
+                        "rows across N mesh devices "
+                        "(parallel.sharding.tile_parallel_render)")
     args = p.parse_args()
 
     import jax
@@ -83,11 +87,33 @@ def main():
     else:
         cams = ring_cameras(args.n_orbit, args.size, args.size)
 
+    render_tp = None
+    if args.n_devices:
+        from curve_gaussian_tpu.config import PipelineConfig
+        from curve_gaussian_tpu.parallel.sharding import (
+            tile_parallel_render_gaussians,
+        )
+
+        pipe = PipelineConfig(tile_capacity=1024)
+        mesh_shape = (("data", args.n_devices),)
+        gauss = {"xyz": xyz, "scale": scale, "quat": quat, "opacity": opa}
+
+        # Camera is a pytree with static H/W/fov metadata, so it rides
+        # as a plain jit arg (one trace per camera geometry, not per frame)
+        @jax.jit
+        def render_tp(gauss, cam_static):
+            return tile_parallel_render_gaussians(
+                gauss, cam_static, pipe, 0.0, mesh_shape
+            )
+
     frame_dir = os.path.join(args.out, "frames")
     os.makedirs(frame_dir, exist_ok=True)
     for i, cam in enumerate(cams):
-        out = render(xyz, scale, quat, opa, cam, bg=0.0, capacity=1024)
-        img = np.asarray(out["render"])
+        if render_tp is not None:
+            img = np.asarray(render_tp(gauss, cam))
+        else:
+            out = render(xyz, scale, quat, opa, cam, bg=0.0, capacity=1024)
+            img = np.asarray(out["render"])
         Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
             os.path.join(frame_dir, f"frame_{i:04d}.png")
         )
