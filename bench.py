@@ -399,6 +399,12 @@ def main():
                 file=sys.stderr,
             )
 
+    # sol_fraction: measured step vs the demonstrated-path speed of light
+    # for this workload on this chip (SOL.md: ~4.4 ms/step at the bench
+    # point from the probed component floors) — how much of the remaining
+    # vs_baseline gap is design headroom (1 - sol_fraction) vs chip class
+    SOL_MS = 4.4
+    step_ms = 1e3 / iters_per_s
     print(
         json.dumps(
             {
@@ -406,6 +412,7 @@ def main():
                 "value": round(mpix_per_s, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_per_s / BASELINE_MPIX_S, 3),
+                "sol_fraction": round(SOL_MS / step_ms, 3),
             }
         )
     )

@@ -428,11 +428,13 @@ def _bin_sort(
     # values agree below counts[t] and both mask to the sentinel P above —
     # so ONE window gather serves both tables (each gather lowers as a
     # ~0.22 ms/step serial while-loop under Pallas-chain pinning; round-4
-    # trace, while.11/while.12).  KP is the smallest 128-multiple >= K
-    # (rank-1 SMEM blocks need only 128-alignment, _ind_grid_spec): at the
-    # default K=896 that is 896, not the former fixed 1024 — 1/8 less
-    # window-gather and SMEM-block volume for free (round 5).
-    KP = -(-K // 128) * 128
+    # trace, while.11/while.12).  KP is the smallest 1024-multiple >= K:
+    # Mosaic's rank-1 tiling is (1024), and a (KP,) / (2*KP,) SMEM block
+    # must divide it evenly (probed round 5: KP=896 fails hardware
+    # lowering with "block shape (1792) is not divisible by tiling (1024)"
+    # — the round-2 note claiming 128-alignment suffices was wrong, it was
+    # never exercised off 1024).
+    KP = -(-K // 1024) * 1024
     idx_pad = None
     if KP <= 1024:
         sv_ext_p = jnp.concatenate([sv, jnp.full((KP,), P, jnp.int32)])

@@ -1877,8 +1877,11 @@ def tile_blend_indirect(fields, idx, counts, nty: int, ntx: int,
 
 def _ind_grid_spec(P1, NF, K, nty, ntx, extra_in, extra_out):
     # the index list rides SMEM as a rank-1 (K,) block over the flattened
-    # [T*K] array: Mosaic rejects (1, K) SMEM blocks (last-two-dims rule),
-    # and rank-1 needs only K % 128 == 0, which tile capacities satisfy
+    # [T*K] array: Mosaic rejects (1, K) SMEM blocks (last-two-dims rule).
+    # CAUTION (probed round 5): rank-1 blocks must divide Mosaic's (1024)
+    # tiling — K % 1024 == 0, NOT the 128 this note formerly claimed
+    # (hardware lowering rejects e.g. a (896,) block).  Callers of the
+    # indirect flavor use K = 1024 multiples.
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty, ntx),

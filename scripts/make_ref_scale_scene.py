@@ -45,6 +45,23 @@ def main():
                         "PidiNet detections are thicker/softer than DexiNed; "
                         "pair with a larger --gt-width for that protocol")
     p.add_argument("--gt-width", type=float, default=0.003)
+    # detector-artifact pathologies (round 5): real DexiNed/PidiNet maps
+    # are messy — edges drop out, double responses ghost alongside strong
+    # edges, and isolated salt fires (reference extract_para_edge.py:49-53
+    # copes with exactly this class of mess).  Fabricated stress scenes
+    # let the surgery/metrics pipeline be tested against them.
+    p.add_argument("--dropout-frac", type=float, default=0.0,
+                   help="fraction of lit edge pixels erased in random "
+                        "disk-shaped gaps per view (detector dropouts)")
+    p.add_argument("--dropout-radius", type=int, default=6,
+                   help="gap radius in px")
+    p.add_argument("--double-edge", type=float, default=0.0,
+                   help="gain of a spurious ghost copy of the edge map "
+                        "shifted a few px (double-response artifact)")
+    p.add_argument("--double-shift", type=int, default=4,
+                   help="ghost shift in px")
+    p.add_argument("--salt", type=float, default=0.0,
+                   help="fraction of pixels firing as isolated salt noise")
     p.add_argument("--tile-capacity", type=int, default=1024)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -112,6 +129,36 @@ def main():
         img = np.asarray(img)
         if int(ov):
             print(f"view {i}: overflow {int(ov)} (raise --tile-capacity)")
+        vr = np.random.default_rng(args.seed * 1000 + 7919 + i)
+        if args.dropout_frac > 0:
+            lit = np.argwhere(img > 0.05)
+            if len(lit):
+                # expected erased px per gap ~ pi r^2; pick gap count so the
+                # erased fraction of lit pixels matches --dropout-frac
+                r = args.dropout_radius
+                n_gaps = max(1, int(args.dropout_frac * len(lit)
+                                    / (np.pi * r * r * 0.5)))
+                centers = lit[vr.integers(0, len(lit), n_gaps)]
+                pad = np.pad(img, r)
+                yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+                keep = ((yy**2 + xx**2) > r * r).astype(img.dtype)
+                for cy, cx in centers:  # centers are in-image => pad slices are full-size
+                    pad[cy: cy + 2 * r + 1, cx: cx + 2 * r + 1] *= keep
+                img = pad[r:-r, r:-r]
+        if args.double_edge > 0:
+            sh = args.double_shift
+            dy, dx = (int(v) for v in vr.integers(-sh, sh + 1, 2))
+            ghost = np.roll(img, (dy, dx), (0, 1))
+            # zero the wrapped strips so the ghost does not invent edges
+            # on the opposite border
+            if dy > 0: ghost[:dy] = 0
+            if dy < 0: ghost[dy:] = 0
+            if dx > 0: ghost[:, :dx] = 0
+            if dx < 0: ghost[:, dx:] = 0
+            img = np.maximum(img, args.double_edge * ghost)
+        if args.salt > 0:
+            mask = vr.uniform(size=img.shape) < args.salt
+            img = np.maximum(img, mask * vr.uniform(0.5, 1.0, img.shape))
         if args.edge_blur > 0:
             # separable Gaussian smear (host numpy): PidiNet-style soft maps
             r = max(1, int(3 * args.edge_blur))
