@@ -112,6 +112,37 @@ def evaluate_scan(
     return out
 
 
+def scatter_diagnostic(pred_pts: np.ndarray, gt_pts: np.ndarray,
+                       out_png: str, title: str = "") -> None:
+    """Quick per-scan pred-vs-GT side-by-side scatter (the reference's
+    edge_extraction/eval_utils.py:17-62 matplotlib diagnostic).  Three
+    orthographic projections, GT left / prediction right, one PNG —
+    meant for eyeballing a batch run, not for metrics (the splatted
+    novel-view render in scripts/render_curves.py is the high-fidelity
+    visual)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(3, 2, figsize=(7, 10))
+    planes = [("x", "y", 0, 1), ("x", "z", 0, 2), ("y", "z", 1, 2)]
+    for row, (nx, ny, i, j) in enumerate(planes):
+        for col, (pts, name, color) in enumerate(
+            ((gt_pts, "GT", "tab:blue"), (pred_pts, "pred", "tab:red"))
+        ):
+            ax = axes[row][col]
+            ax.scatter(pts[:, i], pts[:, j], s=0.3, c=color, linewidths=0)
+            ax.set_aspect("equal")
+            ax.set_xlabel(nx)
+            ax.set_ylabel(ny)
+            if row == 0:
+                ax.set_title(f"{name} {title}")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+
+
 def evaluate_batch(
     output_dir: str,
     scan_names: List[str],
@@ -126,6 +157,19 @@ def evaluate_batch(
         if not os.path.exists(p):
             continue
         per_scan[scan] = evaluate_scan(p, scan, data_base_dir)
+        try:  # per-scan side-by-side diagnostic next to the prediction
+            with open(p) as f:
+                edge_dict = json.load(f)
+            pred_pts, _ = sample_edge_dict(edge_dict)
+            gt = get_gt_points(scan, data_base_dir)
+            if gt is not None:
+                scatter_diagnostic(
+                    np.asarray(pred_pts), np.asarray(gt[0]),
+                    os.path.join(output_dir, scan, "pred_vs_gt.png"),
+                    title=scan,
+                )
+        except Exception as e:  # diagnostics never fail the eval
+            print(f"scatter diagnostic failed for {scan}: {e}")
     agg: Dict[str, float] = {}
     if per_scan:
         keys = set().union(*(set(v) for v in per_scan.values()))
