@@ -62,7 +62,12 @@ class PipelineConfig:
     # re-allocates on demand the same way: rasterizer_impl.cu
     # resizeFunctional).  A 4096 tier cost ~0.3 ms/step of dead gathers
     # at the bench point.
-    big_capacity: int = 1024
+    # 256 = the measured round-4 adaptive operating point (refscale runs
+    # shrink 1024->256; mv2cyl big_peak 18); the driver grows it on
+    # big_overflow like tile_capacity, so under-provisioning costs one
+    # reported chunk + a warmed recompile, while the smaller static tier
+    # is ~0.15 ms/step cheaper at the bench point (probe_r4_ab)
+    big_capacity: int = 256
     max_big_capacity: int = 8192
     backend: str = "pallas"  # 'pallas' | 'reference'
     # what the training driver does when a chunk reports dropped tile

@@ -14,10 +14,11 @@ reference's key sort):
      pairs — a small fixed tier of R1 slots for everyone plus a compacted
      big-rect tier of R2 slots for the few Gaussians whose rect exceeds R1
      tiles (pair volume ~= live candidates, not capacity x P);
-  2. one 3-operand lexicographic `lax.sort` by (tile, view depth, original
-     index) — the analogue of the reference's 64-bit [tileID | depth-bits]
-     radix sort; the index key reproduces the oracle's stable tie-break
-     exactly, and a 3-key sort costs the same as a single-key sort on v5e;
+  2. ONE sort — default: a packed uint32 [tile | depth-bits] key with the
+     original index as tie-break operand (SORT_PACKED, the analogue of the
+     reference's 64-bit [tileID | depth-bits] radix sort); the exact
+     3-operand (tile, depth, index) lexicographic sort remains available
+     for bit-parity against the oracle's full-precision depth order;
   3. per-tile ranges recovered by a vectorized binary search over the
      sorted tile operand (identifyTileRanges equivalent; jnp.searchsorted
      is avoided — it lowers pathologically on TPU);
@@ -69,9 +70,13 @@ from .rasterize_ref import ALPHA_EPS, TILE_H, TILE_W
 # pairs — multi-operand sorts are NOT flat-cost.  The tie-break among
 # depths equal in their kept high bits (~2^-14 relative quantization)
 # falls to the index key: DETERMINISTIC, but can differ from the
-# oracle's full-precision depth order on near-ties, so the flag is OFF
-# until the parity tiers carry an exemption (ROADMAP round-5 item).
-SORT_PACKED = False
+# oracle's full-precision depth order on near-ties — semantically
+# irrelevant (the quantization is ~2^-18 relative at 512^2), but outside
+# bit-parity tolerances, so the oracle-parity test modules pin this False
+# (conftest exact_depth_sort).  DEFAULT ON since the round-5 in-grant
+# A/B: 5.16 -> 5.00 ms/step at the bench point (probe_r5_ab, medians of
+# 3 interleaved visits).
+SORT_PACKED = True
 
 
 def tile_grid(height: int, width: int):

@@ -134,8 +134,12 @@ USE_BASIS_BWD = False
 # through the MXU's native-bf16 path with f32 accumulation, and the
 # per-Gaussian slab RMW stays f32 — expected moment error ~1e-3 relative
 # (quality-gated by tests/test_rasterize.py::test_bf16_scratch_accuracy).
-# Default decided by the round-5 in-grant A/B.
-BWD_SCR_BF16 = False
+# DEFAULT ON since the round-5 in-grant A/B: 5.16 -> 5.01 ms/step at the
+# bench point, composing with SORT_PACKED/FWD_CONSERVE to 4.87
+# (probe_r5_ab, medians of 3 interleaved visits).  The f32-parity test
+# modules pin this False (conftest exact_depth_sort fixture pins BOTH
+# order- and precision-affecting flags).
+BWD_SCR_BF16 = True
 
 # ones-color forward conservation identity (ROADMAP round-4 item 1): with
 # every splat's color == 1, each blend step moves weight w from T to the

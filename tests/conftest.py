@@ -54,8 +54,12 @@ def exact_depth_sort():
     reference's own radix key also truncates ordering information at
     tie granularity) but outside bit-parity tolerances."""
     from curve_gaussian_tpu.ops import binning as _B
+    from curve_gaussian_tpu.ops import rasterize_pallas as _RP
 
     old = _B.SORT_PACKED
+    old_bf = _RP.BWD_SCR_BF16
     _B.SORT_PACKED = False
+    _RP.BWD_SCR_BF16 = False  # bf16 moment scratch: ~1e-3 grads, same idea
     yield
     _B.SORT_PACKED = old
+    _RP.BWD_SCR_BF16 = old_bf
