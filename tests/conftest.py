@@ -58,8 +58,11 @@ def exact_depth_sort():
 
     old = _B.SORT_PACKED
     old_bf = _RP.BWD_SCR_BF16
+    old_ab = _RP.BWD_ACC_BF16
     _B.SORT_PACKED = False
     _RP.BWD_SCR_BF16 = False  # bf16 moment scratch: ~1e-3 grads, same idea
+    _RP.BWD_ACC_BF16 = False  # bf16 slab accumulator, same idea
     yield
     _B.SORT_PACKED = old
     _RP.BWD_SCR_BF16 = old_bf
+    _RP.BWD_ACC_BF16 = old_ab

@@ -438,14 +438,23 @@ class TestBf16Scratch:
             return (out["render"] * kc).sum() + (out["final_T"] * kT).sum()
 
         grads = {}
-        for bf16 in (False, True):
-            monkeypatch.setattr(RP, "BWD_SCR_BF16", bf16)
+        for scr, acc in ((False, False), (True, False), (True, True)):
+            monkeypatch.setattr(RP, "BWD_SCR_BF16", scr)
+            monkeypatch.setattr(RP, "BWD_ACC_BF16", acc)
             jax.clear_caches()
-            grads[bf16] = jax.grad(f, argnums=(0, 3))(
+            grads[(scr, acc)] = jax.grad(f, argnums=(0, 3))(
                 xyz, scale, quat, opacity
             )
-        for a, b, name in zip(grads[True], grads[False], ("xyz", "opacity")):
-            a, b = np.asarray(a), np.asarray(b)
-            m = np.abs(b).max() + 1e-12
-            np.testing.assert_allclose(a / m, b / m, atol=2e-3, err_msg=name)
-            assert np.abs(b).max() > 0, name
+        ref = grads[(False, False)]
+        # scr-only (the production default) holds 2e-3; the experimental
+        # acc-bf16 flavor reaches ~6e-3 on worst elements (running-sum
+        # rounding with cancellation) — gated at 1e-2 and default OFF
+        # until a full-schedule quality run says otherwise
+        for key, tol in (((True, False), 2e-3), ((True, True), 1e-2)):
+            for a, b, name in zip(grads[key], ref, ("xyz", "opacity")):
+                a, b = np.asarray(a), np.asarray(b)
+                m = np.abs(b).max() + 1e-12
+                np.testing.assert_allclose(
+                    a / m, b / m, atol=tol, err_msg=f"{key} {name}"
+                )
+                assert np.abs(b).max() > 0, name
