@@ -78,6 +78,13 @@ from .rasterize_ref import ALPHA_EPS, TILE_H, TILE_W
 # 3 interleaved visits).
 SORT_PACKED = True
 
+# Big-tier compaction by stable sort (True) vs the round-2 scatter into a
+# slot table (False).  The scatter lowers through the serial emitter at
+# 0.24 ms/step with [P]=49k updates even when ZERO members are live
+# (round-5 trace, fusion.491); the [P]-row 2-operand stable sort is ~4x
+# cheaper and bit-identical (same original-index member order).
+BIG_COMPACT_SORT = True
+
 
 def tile_grid(height: int, width: int):
     nty = -(-height // TILE_H)
@@ -275,18 +282,18 @@ def _emit_pairs(
     jax.jit,
     static_argnames=(
         "height", "width", "capacity", "max_rect", "method", "tier1_rect",
-        "big_capacity", "packed",
+        "big_capacity", "packed", "big_sort",
     ),
 )
 def _bin_gaussians_jit(
     pre, height, width, capacity, max_rect, method, tier1_rect,
-    big_capacity, packed,
+    big_capacity, packed, big_sort,
 ) -> Binning:
     nty, ntx = tile_grid(height, width)
     if method == "sort":
         return _bin_sort(
             pre, nty, ntx, capacity, max_rect, tier1_rect, big_capacity,
-            packed=packed,
+            packed=packed, big_sort=big_sort,
         )
     return _bin_pairs(pre, nty, ntx, capacity, max_rect)
 
@@ -301,6 +308,7 @@ def bin_gaussians(
     tier1_rect: int = 4,
     big_capacity: int = 1024,
     packed: bool | None = None,
+    big_sort: bool | None = None,
 ) -> Binning:
     # `packed=None` resolves the SORT_PACKED module flag HERE (call/trace
     # time) and passes it as a static jit arg, so the jit cache keys on the
@@ -309,9 +317,11 @@ def bin_gaussians(
     # this class of bug).
     if packed is None:
         packed = SORT_PACKED
+    if big_sort is None:
+        big_sort = BIG_COMPACT_SORT
     return _bin_gaussians_jit(
         pre, height, width, capacity, max_rect, method, tier1_rect,
-        big_capacity, bool(packed),
+        big_capacity, bool(packed), bool(big_sort),
     )
 
 
@@ -329,23 +339,49 @@ def _bin_sort(
     tier1_rect: int,
     big_capacity: int,
     packed: bool | None = None,
+    big_sort: bool | None = None,
 ):
     if packed is None:
         packed = SORT_PACKED
+    if big_sort is None:
+        big_sort = BIG_COMPACT_SORT
     T = nty * ntx
     P = pre.mean2d.shape[0]
     rect = _rect_fields(pre, nty, ntx, max_rect)
     tiles1, _, d1, v1 = _emit_pairs(pre, rect, T, ntx, tier1_rect)
 
     # big-rect tier: compact Gaussians whose clipped rect exceeds tier1_rect
-    # into a fixed budget and emit their remaining slots
+    # into a fixed budget and emit their remaining slots.  Compaction by
+    # STABLE SORT, not scatter: the former [P]-update scatter into
+    # slot_tbl lowered through the serial emitter at 0.24 ms/step even
+    # with ZERO live members (round-5 trace, fusion.491); a [P]-row
+    # 2-operand sort costs ~0.06 ms and yields the members in the same
+    # original-index order (stable, key = not-big), so the result is
+    # bit-identical.  `pos` (cumsum rank) is kept only for the overflow
+    # accounting — it fuses into the surrounding vector work.
     big = pre.valid & (rect.rw_c * rect.rh_c > tier1_rect)
     pos = jnp.cumsum(big.astype(jnp.int32)) - 1
-    slot_tbl = jnp.full((big_capacity + 1,), P, jnp.int32)
-    slot_tbl = slot_tbl.at[
-        jnp.where(big & (pos < big_capacity), pos, big_capacity)
-    ].set(jnp.arange(P, dtype=jnp.int32), mode="drop")
-    big_idx = slot_tbl[:big_capacity]  # [B] original rows (or sentinel P)
+    if big_sort:
+        big_count_i = big.sum().astype(jnp.int32)
+        _, bsorted = jax.lax.sort(
+            (jnp.where(big, 0, 1).astype(jnp.uint32),
+             jnp.arange(P, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        if big_capacity > P:  # static pad: the tier can out-size tiny scenes
+            bsorted = jnp.concatenate(
+                [bsorted, jnp.full((big_capacity - P,), P, jnp.int32)]
+            )
+        big_idx = jnp.where(
+            jnp.arange(big_capacity, dtype=jnp.int32) < big_count_i,
+            bsorted[:big_capacity], P,
+        )  # [B] original rows (or sentinel P)
+    else:  # the round-2 scatter compaction (kept for the A/B)
+        slot_tbl = jnp.full((big_capacity + 1,), P, jnp.int32)
+        slot_tbl = slot_tbl.at[
+            jnp.where(big & (pos < big_capacity), pos, big_capacity)
+        ].set(jnp.arange(P, dtype=jnp.int32), mode="drop")
+        big_idx = slot_tbl[:big_capacity]
 
     # per-field big-tier takes: ~6 fused [B]-row gathers, ~0.18 ms/step.
     # A packed [P+1, 12] table + single row_gather was tried (round 4) and
