@@ -126,3 +126,22 @@ def _pin_exact_depth_sort(exact_depth_sort):
     """This module compares against full-precision depth-order oracles;
     see the exact_depth_sort fixture (conftest) for why SORT_PACKED is
     exempted from bit-parity tiers."""
+
+
+@pytest.mark.parametrize("big_fraction", [0.15, 1.0])
+def test_big_compact_sort_matches_scatter(rng, big_fraction):
+    """BIG_COMPACT_SORT (stable-sort compaction, round 5) must reproduce
+    the scatter compaction BIT-EXACTLY: the stable sort keeps big-tier
+    members in original-index order, which is exactly the cumsum-rank
+    order the scatter used."""
+    pre, cam = _pre(rng, big_fraction=big_fraction)
+    nty, ntx = B.tile_grid(cam.height, cam.width)
+    a = B._bin_sort(pre, nty, ntx, 512, 16, 2, 16, big_sort=True)
+    b = B._bin_sort(pre, nty, ntx, 512, 16, 2, 16, big_sort=False)
+    for fa, fb, name in zip(a, b, a._fields):
+        if fa is None:
+            assert fb is None
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(fa), np.asarray(fb), err_msg=name
+        )
