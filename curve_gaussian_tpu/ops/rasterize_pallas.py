@@ -138,8 +138,17 @@ USE_BASIS_BWD = False
 # bench point, composing with SORT_PACKED/FWD_CONSERVE to 4.87
 # (probe_r5_ab, medians of 3 interleaved visits).  The f32-parity test
 # modules pin this False (conftest exact_depth_sort fixture pins BOTH
-# order- and precision-affecting flags).
+# order- and precision-affecting flags).  HARDWARE ONLY: CPU XLA
+# emulates bf16 at ~16x the f32 cost in interpreted kernels (probed
+# round 5: 2.40 vs 0.15 s per interpreted backward), so interpret mode
+# keeps f32 scratch unless BWD_SCR_BF16_FORCE is set (the quality-gate
+# test sets it; hardware semantics are otherwise identical).
 BWD_SCR_BF16 = True
+BWD_SCR_BF16_FORCE = False
+
+
+def _scr_bf16() -> bool:
+    return BWD_SCR_BF16 and (BWD_SCR_BF16_FORCE or not _interpret())
 # ... and the same trade for the per-Gaussian slab ACCUMULATOR the RMW
 # read-modify-writes (8 KB r+w per instance at f32, ~0.6 ms/step).  Each
 # gaussian accumulates only ~1.3 instances/view at the bench point, so
@@ -1794,7 +1803,7 @@ def _blend_train_bwd(nty: int, ntx: int, res, g):
                     (2 * 6 * grp, 128)
                     if BWD_SCR_REDUCED
                     else (2 * 6 * grp * REG_H, REG_W),
-                    jnp.bfloat16 if BWD_SCR_BF16 else dt,
+                    jnp.bfloat16 if _scr_bf16() else dt,
                 ),
                 pltpu.VMEM(
                     (PR, 128), jnp.bfloat16 if BWD_ACC_BF16 else dt

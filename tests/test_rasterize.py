@@ -438,6 +438,10 @@ class TestBf16Scratch:
             return (out["render"] * kc).sum() + (out["final_T"] * kT).sum()
 
         grads = {}
+        # FORCE makes the bf16 scratch real under CPU interpret (the
+        # production default applies it on hardware only — CPU bf16
+        # emulation is ~16x slower, so plain CPU runs keep f32)
+        monkeypatch.setattr(RP, "BWD_SCR_BF16_FORCE", True)
         for scr, acc in ((False, False), (True, False), (True, True)):
             monkeypatch.setattr(RP, "BWD_SCR_BF16", scr)
             monkeypatch.setattr(RP, "BWD_ACC_BF16", acc)
